@@ -1,0 +1,218 @@
+"""Benchmark: CIFAR-10 Soft-IntroVAE train-step throughput (images/sec/chip).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Recipe = the reference's CIFAR-10 north-star config
+(soft_intro_vae/README.md:66): z_dim=128, beta=(1,1,256), batch 32, full
+introspective E+D double update (12 forwards + 2 backwards per iteration).
+
+vs_baseline: ratio against a reference-equivalent PyTorch implementation of
+the same step measured on this host's CPU (the reference's own GPU numbers
+don't exist — SURVEY §6; the reference publishes FID only). The torch number
+is cached in .bench_baseline_cache.json after the first run. See
+BENCH_NOTES.md.
+"""
+
+import json
+import os
+import sys
+import time
+
+BATCH = 32
+ZDIM = 128
+IMAGE = 32
+CH = (64, 128, 256)
+WARMUP = 10
+ITERS = 60
+CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_baseline_cache.json")
+
+
+def bench_jax() -> float:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from soft_intro_vae_tpu.data.images import ImageSpec
+    from soft_intro_vae_tpu.parallel import mesh as pmesh
+    from soft_intro_vae_tpu.train.image import ImageConfig, build_image_training
+
+    spec = ImageSpec("cifar10", IMAGE, CH, 3)
+    cfg = ImageConfig(dataset="cifar10", z_dim=ZDIM, batch_size=BATCH,
+                      beta_kl=1.0, beta_rec=1.0, beta_neg=256.0, seed=0)
+    _, _, state, _, intro_step, mesh = build_image_training(cfg, spec)
+
+    rng = np.random.default_rng(0)
+    x = pmesh.shard_batch(jnp.asarray(rng.random((BATCH, IMAGE, IMAGE, 3), np.float32)), mesh)
+
+    for _ in range(WARMUP):
+        state, m = intro_step(state, x)
+    jax.block_until_ready(state.params_e)
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        state, m = intro_step(state, x)
+    jax.block_until_ready(state.params_e)
+    dt = time.perf_counter() - t0
+    n_chips = mesh.devices.size
+    return BATCH * ITERS / dt / n_chips
+
+
+def bench_torch_cpu(max_seconds: float = 120.0) -> float:
+    """Reference-equivalent torch step on host CPU (baseline harness only)."""
+    import numpy as np
+    import torch
+    import torch.nn as nn
+    import torch.nn.functional as F
+
+    torch.manual_seed(0)
+
+    class ResBlock(nn.Module):
+        def __init__(self, inc, outc):
+            super().__init__()
+            self.skip = nn.Conv2d(inc, outc, 1, bias=False) if inc != outc else None
+            self.c1 = nn.Conv2d(inc, outc, 3, padding=1, bias=False)
+            self.b1 = nn.BatchNorm2d(outc)
+            self.c2 = nn.Conv2d(outc, outc, 3, padding=1, bias=False)
+            self.b2 = nn.BatchNorm2d(outc)
+
+        def forward(self, x):
+            idt = self.skip(x) if self.skip is not None else x
+            y = F.leaky_relu(self.b1(self.c1(x)), 0.2)
+            y = self.b2(self.c2(y))
+            return F.leaky_relu(y + idt, 0.2)
+
+    class Enc(nn.Module):
+        def __init__(self):
+            super().__init__()
+            layers = [nn.Conv2d(3, CH[0], 5, padding=2, bias=False), nn.BatchNorm2d(CH[0]),
+                      nn.LeakyReLU(0.2), nn.AvgPool2d(2)]
+            cc = CH[0]
+            for ch in CH[1:]:
+                layers += [ResBlock(cc, ch), nn.AvgPool2d(2)]
+                cc = ch
+            layers += [ResBlock(cc, cc)]
+            self.main = nn.Sequential(*layers)
+            s = IMAGE // (2 ** len(CH))
+            self.fc = nn.Linear(cc * s * s, 2 * ZDIM)
+
+        def forward(self, x):
+            y = self.fc(self.main(x).flatten(1))
+            return y.chunk(2, dim=1)
+
+    class Dec(nn.Module):
+        def __init__(self):
+            super().__init__()
+            cc = CH[-1]
+            s = IMAGE // (2 ** len(CH))
+            self.s, self.cc = s, cc
+            self.fc = nn.Sequential(nn.Linear(ZDIM, cc * s * s), nn.ReLU(True))
+            layers = []
+            for ch in reversed(CH):
+                layers += [ResBlock(cc, ch), nn.Upsample(scale_factor=2)]
+                cc = ch
+            layers += [ResBlock(cc, cc), nn.Conv2d(cc, 3, 5, padding=2)]
+            self.main = nn.Sequential(*layers)
+
+        def forward(self, z):
+            y = self.fc(z).view(-1, self.cc, self.s, self.s)
+            return self.main(y)
+
+    enc, dec = Enc(), Dec()
+    opt_e = torch.optim.Adam(enc.parameters(), lr=2e-4)
+    opt_d = torch.optim.Adam(dec.parameters(), lr=2e-4)
+    scale = 1.0 / (3 * IMAGE * IMAGE)
+    br, bk, bn = 1.0, 1.0, 256.0
+
+    def kl(mu, lv, reduce="mean"):
+        k = -0.5 * (1 + lv - lv.exp() - mu.pow(2)).sum(1)
+        return k.mean() if reduce == "mean" else k
+
+    def rec_err(x, r, reduction="mean"):
+        e = F.mse_loss(r.flatten(1), x.flatten(1), reduction="none").sum(1)
+        return e.mean() if reduction == "mean" else e
+
+    x = torch.rand(BATCH, 3, IMAGE, IMAGE)
+
+    def step():
+        noise = torch.randn(BATCH, ZDIM)
+        for p in enc.parameters():
+            p.requires_grad = True
+        for p in dec.parameters():
+            p.requires_grad = False
+        fake = dec(noise)
+        mu, lv = enc(x)
+        z = mu + torch.randn_like(mu) * (0.5 * lv).exp()
+        rec = dec(z)
+        lrec = rec_err(x, rec)
+        lkl = kl(mu, lv)
+        rmu, rlv = enc(rec.detach())
+        zr = rmu + torch.randn_like(rmu) * (0.5 * rlv).exp()
+        rr = dec(zr)
+        fmu, flv = enc(fake.detach())
+        zf = fmu + torch.randn_like(fmu) * (0.5 * flv).exp()
+        rf = dec(zf)
+        e_rr = rec_err(rec, rr, "none")
+        e_rf = rec_err(fake, rf, "none")
+        exp_r = (-2 * scale * (br * e_rr + bn * kl(rmu, rlv, "none"))).exp().mean()
+        exp_f = (-2 * scale * (br * e_rf + bn * kl(fmu, flv, "none"))).exp().mean()
+        lossE = scale * (br * lrec + bk * lkl) + 0.25 * (exp_r + exp_f)
+        opt_e.zero_grad(); lossE.backward(); opt_e.step()
+
+        for p in enc.parameters():
+            p.requires_grad = False
+        for p in dec.parameters():
+            p.requires_grad = True
+        fake = dec(noise)
+        rec = dec(z.detach())
+        lrec = rec_err(x, rec)
+        rmu, rlv = enc(rec)
+        zr = rmu + torch.randn_like(rmu) * (0.5 * rlv).exp()
+        fmu, flv = enc(fake)
+        zf = fmu + torch.randn_like(fmu) * (0.5 * flv).exp()
+        rr = dec(zr.detach())
+        rf = dec(zf.detach())
+        lossD = scale * (br * lrec + 0.5 * bk * (kl(rmu, rlv) + kl(fmu, flv))
+                         + 1e-8 * 0.5 * br * (rec_err(rec.detach(), rr) + rec_err(fake.detach(), rf)))
+        opt_d.zero_grad(); lossD.backward(); opt_d.step()
+
+    step()  # warmup
+    n, t0 = 0, time.perf_counter()
+    while True:
+        step()
+        n += 1
+        dt = time.perf_counter() - t0
+        if n >= 20 or dt > max_seconds:
+            break
+    return BATCH * n / dt
+
+
+def get_torch_baseline() -> float:
+    if os.path.exists(CACHE):
+        try:
+            with open(CACHE) as f:
+                return float(json.load(f)["torch_cpu_images_per_sec"])
+        except Exception:
+            pass
+    try:
+        val = bench_torch_cpu()
+    except Exception as e:  # torch missing/broken: no baseline
+        print(f"torch baseline unavailable: {e}", file=sys.stderr)
+        return 0.0
+    with open(CACHE, "w") as f:
+        json.dump({"torch_cpu_images_per_sec": val}, f)
+    return val
+
+
+def main():
+    ips = bench_jax()
+    base = get_torch_baseline()
+    vs = ips / base if base > 0 else 1.0
+    print(json.dumps({
+        "metric": "cifar10_softintrovae_train_throughput",
+        "value": round(ips, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(vs, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,177 @@
+"""Image data layer: dataset registry, disk loaders, synthetic fallback.
+
+Capability parity with the reference's dataset selection table
+(/root/reference/soft_intro_vae/train_soft_intro_vae.py:376-440) and
+ImageDatasetFromFile (/root/reference/soft_intro_vae/dataset.py:50-93).
+
+All loaders return NHWC float32 in [0, 1] (TPU-native layout; the reference
+is NCHW). Downloads are never attempted — data is read from local roots when
+present; ``SyntheticImages`` provides a deterministic stand-in so training,
+tests and benchmarks run hermetically.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import pickle
+from typing import Callable, Dict, Iterator, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class ImageSpec:
+    """One row of the reference dataset registry: sizes + channel schedule."""
+
+    name: str
+    image_size: int
+    channels: Tuple[int, ...]
+    cdim: int
+
+    @property
+    def scale(self) -> float:
+        # per-pixel loss normalizer (train_soft_intro_vae.py:456)
+        return 1.0 / (self.cdim * self.image_size**2)
+
+
+# (train_soft_intro_vae.py:376-440)
+DATASETS: Dict[str, ImageSpec] = {
+    "cifar10": ImageSpec("cifar10", 32, (64, 128, 256), 3),
+    "svhn": ImageSpec("svhn", 32, (64, 128, 256), 3),
+    "mnist": ImageSpec("mnist", 28, (64, 128), 1),
+    "fmnist": ImageSpec("fmnist", 28, (64, 128), 1),
+    "monsters128": ImageSpec("monsters128", 128, (64, 128, 256, 512, 512), 3),
+    "celeb128": ImageSpec("celeb128", 128, (64, 128, 256, 512, 512), 3),
+    "celeb256": ImageSpec("celeb256", 256, (64, 128, 256, 512, 512, 512), 3),
+    "celeb1024": ImageSpec("celeb1024", 1024, (16, 32, 64, 128, 256, 512, 512, 512), 3),
+}
+
+
+class ArrayDataset:
+    """In-memory NHWC dataset with shuffled epoch iteration."""
+
+    def __init__(self, images: np.ndarray, seed: int = 0):
+        assert images.ndim == 4, "expect (N, H, W, C)"
+        self.images = images
+        self.rng = np.random.default_rng(seed)
+
+    def __len__(self) -> int:
+        return self.images.shape[0]
+
+    def epoch(self, batch_size: int, shuffle: bool = True, drop_last: bool = False) -> Iterator[np.ndarray]:
+        n = len(self)
+        idx = self.rng.permutation(n) if shuffle else np.arange(n)
+        end = n - (n % batch_size) if drop_last else n
+        for i in range(0, end, batch_size):
+            yield self.images[idx[i : i + batch_size]]
+
+
+class SyntheticImages(ArrayDataset):
+    """Deterministic synthetic images — hermetic stand-in for smoke/bench."""
+
+    def __init__(self, n: int, image_size: int, cdim: int, seed: int = 0):
+        rng = np.random.default_rng(seed)
+        # smooth blobs rather than white noise so the VAE has structure to fit
+        base = rng.random((n, 8, 8, cdim)).astype(np.float32)
+        reps = image_size // 8 + 1
+        up = np.repeat(np.repeat(base, reps, axis=1), reps, axis=2)[:, :image_size, :image_size, :]
+        noise = rng.random((n, image_size, image_size, cdim)).astype(np.float32)
+        super().__init__(np.clip(0.8 * up + 0.2 * noise, 0.0, 1.0), seed=seed)
+
+
+def load_cifar10(root: str) -> Optional[np.ndarray]:
+    """Read the standard ``cifar-10-batches-py`` pickles -> (50000,32,32,3)."""
+    d = os.path.join(root, "cifar-10-batches-py")
+    if not os.path.isdir(d):
+        return None
+    chunks = []
+    for i in range(1, 6):
+        with open(os.path.join(d, f"data_batch_{i}"), "rb") as f:
+            batch = pickle.load(f, encoding="bytes")
+        chunks.append(batch[b"data"])
+    data = np.concatenate(chunks).reshape(-1, 3, 32, 32).transpose(0, 2, 3, 1)
+    return (data.astype(np.float32) / 255.0)
+
+
+def load_mnist_idx(root: str, name: str = "train-images-idx3-ubyte") -> Optional[np.ndarray]:
+    """Read raw MNIST/FashionMNIST idx files -> (N, 28, 28, 1) in [0,1]."""
+    import gzip
+
+    for candidate in (os.path.join(root, name), os.path.join(root, name + ".gz")):
+        if os.path.exists(candidate):
+            opener = gzip.open if candidate.endswith(".gz") else open
+            with opener(candidate, "rb") as f:
+                raw = f.read()
+            n = int.from_bytes(raw[4:8], "big")
+            data = np.frombuffer(raw, np.uint8, offset=16).reshape(n, 28, 28, 1)
+            return data.astype(np.float32) / 255.0
+    return None
+
+
+def load_image_folder(
+    root: str,
+    output_size: int,
+    input_size: Optional[int] = None,
+    crop_size: Optional[int] = None,
+    mirror: bool = True,
+    limit: Optional[int] = None,
+    seed: int = 0,
+) -> Optional[np.ndarray]:
+    """Folder-of-images loader (ImageDatasetFromFile parity: RGB convert,
+    optional center crop, bicubic resize; random mirror is applied at batch
+    time by ``augment_mirror``). Requires PIL."""
+    try:
+        from PIL import Image
+    except ImportError:
+        return None
+    if not os.path.isdir(root):
+        return None
+    exts = (".jpg", ".png", ".jpeg", ".bmp")
+    files = sorted(x for x in os.listdir(root) if x.lower().endswith(exts))
+    if limit:
+        files = files[:limit]
+    if not files:
+        return None
+    out = np.empty((len(files), output_size, output_size, 3), np.float32)
+    for i, name in enumerate(files):
+        img = Image.open(os.path.join(root, name)).convert("RGB")
+        if input_size:
+            img = img.resize((input_size, input_size), Image.BICUBIC)
+        if crop_size:
+            w, h = img.size
+            left, top = (w - crop_size) // 2, (h - crop_size) // 2
+            img = img.crop((left, top, left + crop_size, top + crop_size))
+        img = img.resize((output_size, output_size), Image.BICUBIC)
+        out[i] = np.asarray(img, np.float32) / 255.0
+    return out
+
+
+def augment_mirror(batch: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+    """Random horizontal flip per image (dataset.py is_mirror semantics)."""
+    flip = rng.random(batch.shape[0]) < 0.5
+    out = batch.copy()
+    out[flip] = out[flip][:, :, ::-1, :]
+    return out
+
+
+def make_dataset(name: str, data_root: str = "./data", seed: int = 0,
+                 synthetic_fallback: bool = True, synthetic_n: int = 2048) -> Tuple[ImageSpec, ArrayDataset]:
+    """Resolve a dataset name to (spec, ArrayDataset); falls back to
+    synthetic data when the files aren't on disk (hermetic environments)."""
+    if name not in DATASETS:
+        raise NotImplementedError(f"dataset {name!r} is not supported")
+    spec = DATASETS[name]
+    arr = None
+    if name == "cifar10":
+        arr = load_cifar10(os.path.join(data_root, "cifar10_ds")) or load_cifar10(data_root)
+    elif name in ("mnist", "fmnist"):
+        sub = {"mnist": "mnist_ds", "fmnist": "fmnist_ds"}[name]
+        arr = load_mnist_idx(os.path.join(data_root, sub)) or load_mnist_idx(data_root)
+    elif name in ("celeb128", "celeb256", "celeb1024", "monsters128"):
+        arr = load_image_folder(os.path.join(data_root, name), spec.image_size)
+    if arr is None:
+        if not synthetic_fallback:
+            raise FileNotFoundError(f"no local data for {name!r} under {data_root!r}")
+        return spec, SyntheticImages(synthetic_n, spec.image_size, spec.cdim, seed=seed)
+    return spec, ArrayDataset(arr, seed=seed)

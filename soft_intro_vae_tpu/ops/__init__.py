@@ -1,0 +1,20 @@
+"""TPU compute primitives: fused loss math, chamfer, upsampling, pallas kernels."""
+
+from soft_intro_vae_tpu.ops.losses import (
+    exp_elbo,
+    kl_divergence,
+    per_sample_recon,
+    reconstruction_loss,
+    reparameterize,
+)
+from soft_intro_vae_tpu.ops.chamfer import chamfer_distance, chamfer_distance_tiled
+
+__all__ = [
+    "exp_elbo",
+    "kl_divergence",
+    "per_sample_recon",
+    "reconstruction_loss",
+    "reparameterize",
+    "chamfer_distance",
+    "chamfer_distance_tiled",
+]

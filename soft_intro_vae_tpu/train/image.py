@@ -1,0 +1,237 @@
+"""Image trainer — the flagship CIFAR/CelebA Soft-IntroVAE recipe.
+
+Capability parity with train_soft_intro_vae
+(/root/reference/soft_intro_vae/train_soft_intro_vae.py:337-702) and its
+bootstrap sibling: epoch loop, vanilla warm-up, two-phase introspective step,
+MultiStepLR(350,) gamma 0.1 per epoch (:453-454), per-pixel loss scale
+(:456), exit_on_negative_diff kill-switch (:652-657), NaN abort (:625-626),
+periodic checkpoints with the reference's filename pattern (:491-495),
+optional FID cadence (:472-487), bootstrap target-decoder sync
+(bootstrap:680-682).
+
+TPU-first: the E+D double update is ONE jitted donated-buffer program; the
+same step runs on 1..N chips via jax.sharding (params replicated, batch
+sharded — XLA inserts the gradient all-reduce). Per-iteration metrics stay on
+device and are fetched once per epoch.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from soft_intro_vae_tpu.data.images import ArrayDataset, ImageSpec, augment_mirror, make_dataset
+from soft_intro_vae_tpu.models.conv import ConvDecoder, ConvEncoder
+from soft_intro_vae_tpu.parallel import mesh as pmesh
+from soft_intro_vae_tpu.train import optim
+from soft_intro_vae_tpu.train.state import TrainState
+from soft_intro_vae_tpu.train.step import StepConfig, build_train_steps
+from soft_intro_vae_tpu.utils.checkpoint import Checkpointer
+from soft_intro_vae_tpu.utils.tracker import LossTracker
+
+
+@dataclasses.dataclass
+class ImageConfig:
+    """Mirrors the reference trainer kwargs (train_soft_intro_vae.py:337-341)."""
+
+    dataset: str = "cifar10"
+    z_dim: int = 128
+    lr_e: float = 2e-4
+    lr_d: float = 2e-4
+    batch_size: int = 128
+    num_epochs: int = 250
+    num_vae: int = 0
+    save_interval: int = 50
+    recon_loss_type: str = "mse"
+    beta_kl: float = 1.0
+    beta_rec: float = 1.0
+    beta_neg: float = 1.0
+    gamma_r: float = 1e-8
+    test_iter: int = 1000
+    seed: int = -1
+    start_epoch: int = 0
+    exit_on_negative_diff: bool = False
+    with_fid: bool = False
+    fid_num_images: int = 50000
+    pretrained: Optional[str] = None
+    data_root: str = "./data"
+    result_dir: str = "./results_image"
+    bootstrap: bool = False          # bootstrap variant (target decoder)
+    copy_to_target_freq: int = 1     # bootstrap weight-sync cadence
+    mirror_augment: bool = False
+    num_devices: Optional[int] = None  # data-parallel mesh size (None = all)
+    compute_dtype: str = "float32"   # "bfloat16" for TPU speed
+    synthetic_fallback: bool = True
+    verbose: bool = True
+
+
+def build_image_models(spec: ImageSpec, cfg: ImageConfig):
+    dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    kw = dict(cdim=spec.cdim, zdim=cfg.z_dim, channels=spec.channels,
+              image_size=spec.image_size, dtype=dtype)
+    return ConvEncoder(**kw), ConvDecoder(**kw)
+
+
+def make_model_fns(enc: ConvEncoder, dec: ConvDecoder):
+    """Functional applies that thread BN batch_stats (torch-train-mode parity)."""
+
+    def encode(params, stats, x):
+        (mu, lv), upd = enc.apply(
+            {"params": params, "batch_stats": stats}, x, train=True, mutable=["batch_stats"]
+        )
+        return (mu, lv), upd["batch_stats"]
+
+    def decode(params, stats, z):
+        y, upd = dec.apply(
+            {"params": params, "batch_stats": stats}, z, train=True, mutable=["batch_stats"]
+        )
+        return y, upd["batch_stats"]
+
+    return encode, decode
+
+
+def build_image_training(cfg: ImageConfig, spec: ImageSpec):
+    """Models, steps, mesh, and initial (sharded) state."""
+    enc, dec = build_image_models(spec, cfg)
+    encode, decode = make_model_fns(enc, dec)
+
+    seed = cfg.seed if cfg.seed != -1 else int(time.time()) % (2**31)
+    root = jax.random.key(seed)
+    k_e, k_d, k_t, k_state = jax.random.split(root, 4)
+    dummy_x = jnp.zeros((1, spec.image_size, spec.image_size, spec.cdim))
+    dummy_z = jnp.zeros((1, cfg.z_dim))
+    ve = enc.init(k_e, dummy_x, train=False)
+    vd = dec.init(k_d, dummy_z, train=False)
+
+    opt = optim.adam()
+    params_d_target = stats_d_target = None
+    if cfg.bootstrap:
+        vt = dec.init(k_t, dummy_z, train=False)
+        params_d_target, stats_d_target = vt["params"], vt.get("batch_stats", {})
+
+    state = TrainState.create(
+        params_e=ve["params"],
+        params_d=vd["params"],
+        stats_e=ve.get("batch_stats", {}),
+        stats_d=vd.get("batch_stats", {}),
+        params_d_target=params_d_target,
+        stats_d_target=stats_d_target,
+        opt_e=opt.init(ve["params"]),
+        opt_d=opt.init(vd["params"]),
+        rng=k_state,
+        lr_e=cfg.lr_e,
+        lr_d=cfg.lr_d,
+    )
+
+    step_cfg = StepConfig(
+        z_dim=cfg.z_dim,
+        beta_rec=cfg.beta_rec,
+        beta_kl=cfg.beta_kl,
+        beta_neg=cfg.beta_neg,
+        gamma_r=cfg.gamma_r,
+        scale=spec.scale,
+        loss_type=cfg.recon_loss_type,
+        bootstrap=cfg.bootstrap,
+    )
+    vanilla_step, intro_step = build_train_steps(
+        encode=encode, decode=decode, optimizer=opt, cfg=step_cfg,
+        decode_target=decode if cfg.bootstrap else None,
+    )
+
+    mesh = pmesh.make_data_mesh(cfg.num_devices)
+    state = pmesh.shard_state(state, mesh)
+    return enc, dec, state, vanilla_step, intro_step, mesh
+
+
+def sync_target_decoder(state: TrainState) -> TrainState:
+    """bootstrap weight sync: target <- online (bootstrap:680-682)."""
+    copy = jax.tree_util.tree_map(lambda x: x, state.params_d)
+    stats = jax.tree_util.tree_map(lambda x: x, state.stats_d)
+    return state.replace(params_d_target=copy, stats_d_target=stats)
+
+
+def train_soft_intro_vae(cfg: ImageConfig, dataset: Optional[ArrayDataset] = None,
+                         spec: Optional[ImageSpec] = None) -> Tuple[TrainState, dict]:
+    """Run the image recipe; returns (state, summary dict)."""
+    if dataset is None or spec is None:
+        spec, dataset = make_dataset(cfg.dataset, cfg.data_root, seed=max(cfg.seed, 0),
+                                     synthetic_fallback=cfg.synthetic_fallback)
+    enc, dec, state, vanilla_step, intro_step, mesh = build_image_training(cfg, spec)
+    if cfg.bootstrap:
+        state = sync_target_decoder(state)  # target starts equal to online
+
+    ckpt = Checkpointer(os.path.join(cfg.result_dir, "saves"),
+                        prefix=f"{cfg.dataset}_soft_intro_betas_{cfg.beta_kl}_{cfg.beta_neg}_{cfg.beta_rec}_")
+    tracker = LossTracker(cfg.result_dir)
+    if cfg.pretrained:
+        from soft_intro_vae_tpu.utils.checkpoint import load_checkpoint
+        state, _, _ = load_checkpoint(cfg.pretrained, state)
+
+    lr_e_sched = optim.multistep_lr(cfg.lr_e, (350,), 0.1)
+    lr_d_sched = optim.multistep_lr(cfg.lr_d, (350,), 0.1)
+    aug_rng = np.random.default_rng(max(cfg.seed, 0) + 1)
+
+    fid_fn = None
+    if cfg.with_fid:
+        from soft_intro_vae_tpu.metrics.fid import make_training_fid  # lazy: heavy
+        fid_fn = make_training_fid(dec, spec, cfg)
+
+    summary = dict(best_fid=None, epochs_run=0)
+    cur_iter = 0
+    start = time.time()
+    for epoch in range(cfg.start_epoch, cfg.num_epochs):
+        if fid_fn is not None and (epoch == 0 or (epoch >= 100 and epoch % 20 == 0) or epoch == cfg.num_epochs - 1):
+            fid = fid_fn(state)
+            if cfg.verbose:
+                print(f"epoch {epoch} fid: {fid:.3f}")
+            if summary["best_fid"] is None or fid < summary["best_fid"]:
+                summary["best_fid"] = fid
+                ckpt.save(state, epoch, cur_iter, tag=f"_fid_{fid:.3f}")
+        if epoch % cfg.save_interval == 0 and epoch > 0:
+            ckpt.save(state, epoch, cur_iter, async_save=True)
+
+        step_fn = vanilla_step if epoch < cfg.num_vae else intro_step
+        device_metrics = []
+        for batch in dataset.epoch(cfg.batch_size, drop_last=True):
+            if cfg.mirror_augment:
+                batch = augment_mirror(batch, aug_rng)
+            x = pmesh.shard_batch(jnp.asarray(batch), mesh)
+            state, m = step_fn(state, x)
+            device_metrics.append(m)
+            cur_iter += 1
+
+        # one host sync per epoch
+        host = jax.device_get(device_metrics)
+        ep_mean = {k: float(np.mean([h[k] for h in host])) for k in host[0]} if host else {}
+        tracker.update(ep_mean)
+        tracker.register_means(epoch)
+        if any(np.isnan(v) for v in ep_mean.values()):
+            raise SystemError("loss is NaN")
+        if (cfg.exit_on_negative_diff and epoch > 50 and "diff_kl" in ep_mean
+                and ep_mean["diff_kl"] < -1.0):
+            raise SystemError("Negative KL Difference — lower beta_neg")
+
+        if cfg.bootstrap and epoch % cfg.copy_to_target_freq == 0:
+            state = sync_target_decoder(state)
+
+        # per-epoch LR schedule (:649-650)
+        state = state.replace(
+            lr_e=jnp.asarray(lr_e_sched(epoch + 1), jnp.float32),
+            lr_d=jnp.asarray(lr_d_sched(epoch + 1), jnp.float32),
+        )
+        summary["epochs_run"] = epoch + 1
+        if cfg.verbose and ep_mean:
+            keys = ("rec", "kl_real", "kl_fake", "kl_rec", "diff_kl")
+            msg = ", ".join(f"{k}: {ep_mean[k]:.3f}" for k in keys if k in ep_mean)
+            print(f"epoch {epoch}: {msg} ({time.time() - start:.1f}s)")
+
+    ckpt.save(state, cfg.num_epochs - 1, cur_iter)
+    ckpt.wait()
+    tracker.plot()
+    return state, summary
