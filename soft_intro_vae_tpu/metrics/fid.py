@@ -1,0 +1,383 @@
+"""FID: patched FID-Inception in flax + Fréchet distance, TPU-first.
+
+Capability parity with the reference FID stack
+(/root/reference/soft_intro_vae/metrics/{inception.py,fid_score.py}):
+
+* ``InceptionV3FID`` reproduces the *pt_inception-2015-12-05* topology used
+  by pytorch-fid (inception.py:184-206), including the FID-specific patches
+  that differ from stock torchvision Inception-v3 (inception.py:209-330):
+    - every Inception block's avg-pool branch uses count_include_pad=False,
+    - Mixed_7c (the second InceptionE) replaces its avg-pool branch with a
+      3x3/1 max-pool.
+  Layout is NHWC; BN eps=1e-3 as in the TF-slim port.
+
+* Weights: the reference downloads a .pth (inception.py:17). This module
+  loads that file if present (``params_from_torch_state_dict`` converts it),
+  otherwise falls back to deterministic random init — FID values are then
+  self-consistent (usable for relative comparisons and tests) but NOT
+  comparable to published numbers; a warning is issued.
+
+* ``frechet_distance`` (fid_score.py:274-325): trace of sqrtm(S1 S2) via
+  Newton–Schulz iterations — differentiable-free, matmul-only, runs on the
+  MXU — with a scipy.linalg.sqrtm host fallback for validation.
+
+* ``compute_fid``: streams activation batches through a jitted forward,
+  accumulates mean/second-moment on device (one pass, no 50k-activation
+  host materialization unless requested).
+"""
+
+from __future__ import annotations
+
+import os
+import warnings
+from functools import partial
+from typing import Callable, Iterable, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jax.Array
+
+FID_WEIGHTS_FILENAME = "pt_inception-2015-12-05-6726825d.pth"
+
+
+# ---------------------------------------------------------------- pooling ---
+def avg_pool_no_pad(x: Array, window: int = 3) -> Array:
+    """3x3/1 same avg-pool with count_include_pad=False (the FID patch:
+    inception.py:224-228 etc.). Padded zeros are excluded from the mean by
+    dividing by the per-position valid-window size."""
+    ones = jnp.ones(x.shape[1:3], x.dtype)[None, :, :, None]
+    summed = jax.lax.reduce_window(
+        x, 0.0, jax.lax.add, (1, window, window, 1), (1, 1, 1, 1), "SAME"
+    )
+    counts = jax.lax.reduce_window(
+        ones, 0.0, jax.lax.add, (1, window, window, 1), (1, 1, 1, 1), "SAME"
+    )
+    return summed / counts
+
+
+def max_pool(x: Array, window: int = 3, stride: int = 2, same: bool = False) -> Array:
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, (1, window, window, 1), (1, stride, stride, 1),
+        "SAME" if same else "VALID",
+    )
+
+
+# ----------------------------------------------------------------- blocks ---
+class BasicConv2d(nn.Module):
+    out_ch: int
+    kernel: Tuple[int, int]
+    stride: int = 1
+    padding: Tuple[int, int] = (0, 0)
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        x = nn.Conv(self.out_ch, self.kernel, strides=(self.stride, self.stride),
+                    padding=(self.padding[0], self.padding[1]), use_bias=False, name="conv")(x)
+        x = nn.BatchNorm(use_running_average=True, epsilon=1e-3, momentum=0.9, name="bn")(x)
+        return nn.relu(x)
+
+
+class InceptionA(nn.Module):
+    pool_features: int
+
+    @nn.compact
+    def __call__(self, x):
+        b1 = BasicConv2d(64, (1, 1), name="branch1x1")(x)
+        b5 = BasicConv2d(48, (1, 1), name="branch5x5_1")(x)
+        b5 = BasicConv2d(64, (5, 5), padding=(2, 2), name="branch5x5_2")(b5)
+        b3 = BasicConv2d(64, (1, 1), name="branch3x3dbl_1")(x)
+        b3 = BasicConv2d(96, (3, 3), padding=(1, 1), name="branch3x3dbl_2")(b3)
+        b3 = BasicConv2d(96, (3, 3), padding=(1, 1), name="branch3x3dbl_3")(b3)
+        bp = avg_pool_no_pad(x)
+        bp = BasicConv2d(self.pool_features, (1, 1), name="branch_pool")(bp)
+        return jnp.concatenate([b1, b5, b3, bp], axis=-1)
+
+
+class InceptionB(nn.Module):
+    @nn.compact
+    def __call__(self, x):
+        b3 = BasicConv2d(384, (3, 3), stride=2, name="branch3x3")(x)
+        bd = BasicConv2d(64, (1, 1), name="branch3x3dbl_1")(x)
+        bd = BasicConv2d(96, (3, 3), padding=(1, 1), name="branch3x3dbl_2")(bd)
+        bd = BasicConv2d(96, (3, 3), stride=2, name="branch3x3dbl_3")(bd)
+        bp = max_pool(x, 3, 2)
+        return jnp.concatenate([b3, bd, bp], axis=-1)
+
+
+class InceptionC(nn.Module):
+    channels_7x7: int
+
+    @nn.compact
+    def __call__(self, x):
+        c7 = self.channels_7x7
+        b1 = BasicConv2d(192, (1, 1), name="branch1x1")(x)
+        b7 = BasicConv2d(c7, (1, 1), name="branch7x7_1")(x)
+        b7 = BasicConv2d(c7, (1, 7), padding=(0, 3), name="branch7x7_2")(b7)
+        b7 = BasicConv2d(192, (7, 1), padding=(3, 0), name="branch7x7_3")(b7)
+        bd = BasicConv2d(c7, (1, 1), name="branch7x7dbl_1")(x)
+        bd = BasicConv2d(c7, (7, 1), padding=(3, 0), name="branch7x7dbl_2")(bd)
+        bd = BasicConv2d(c7, (1, 7), padding=(0, 3), name="branch7x7dbl_3")(bd)
+        bd = BasicConv2d(c7, (7, 1), padding=(3, 0), name="branch7x7dbl_4")(bd)
+        bd = BasicConv2d(192, (1, 7), padding=(0, 3), name="branch7x7dbl_5")(bd)
+        bp = avg_pool_no_pad(x)
+        bp = BasicConv2d(192, (1, 1), name="branch_pool")(bp)
+        return jnp.concatenate([b1, b7, bd, bp], axis=-1)
+
+
+class InceptionD(nn.Module):
+    @nn.compact
+    def __call__(self, x):
+        b3 = BasicConv2d(192, (1, 1), name="branch3x3_1")(x)
+        b3 = BasicConv2d(320, (3, 3), stride=2, name="branch3x3_2")(b3)
+        b7 = BasicConv2d(192, (1, 1), name="branch7x7x3_1")(x)
+        b7 = BasicConv2d(192, (1, 7), padding=(0, 3), name="branch7x7x3_2")(b7)
+        b7 = BasicConv2d(192, (7, 1), padding=(3, 0), name="branch7x7x3_3")(b7)
+        b7 = BasicConv2d(192, (3, 3), stride=2, name="branch7x7x3_4")(b7)
+        bp = max_pool(x, 3, 2)
+        return jnp.concatenate([b3, b7, bp], axis=-1)
+
+
+class InceptionE(nn.Module):
+    pool_kind: str = "avg"  # "avg" (Mixed_7b / E_1) or "max" (Mixed_7c / E_2)
+
+    @nn.compact
+    def __call__(self, x):
+        b1 = BasicConv2d(320, (1, 1), name="branch1x1")(x)
+        b3 = BasicConv2d(384, (1, 1), name="branch3x3_1")(x)
+        b3a = BasicConv2d(384, (1, 3), padding=(0, 1), name="branch3x3_2a")(b3)
+        b3b = BasicConv2d(384, (3, 1), padding=(1, 0), name="branch3x3_2b")(b3)
+        b3 = jnp.concatenate([b3a, b3b], axis=-1)
+        bd = BasicConv2d(448, (1, 1), name="branch3x3dbl_1")(x)
+        bd = BasicConv2d(384, (3, 3), padding=(1, 1), name="branch3x3dbl_2")(bd)
+        bda = BasicConv2d(384, (1, 3), padding=(0, 1), name="branch3x3dbl_3a")(bd)
+        bdb = BasicConv2d(384, (3, 1), padding=(1, 0), name="branch3x3dbl_3b")(bd)
+        bd = jnp.concatenate([bda, bdb], axis=-1)
+        if self.pool_kind == "max":
+            bp = max_pool(x, 3, 1, same=True)  # FIDInceptionE_2 patch (:322-327)
+        else:
+            bp = avg_pool_no_pad(x)
+        bp = BasicConv2d(192, (1, 1), name="branch_pool")(bp)
+        return jnp.concatenate([b1, b3, bd, bp], axis=-1)
+
+
+class InceptionV3FID(nn.Module):
+    """pt_inception FID network: NHWC in [0,1] -> 2048-dim pool3 features."""
+
+    resize_input: bool = True
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        if self.resize_input:
+            x = jax.image.resize(x, (x.shape[0], 299, 299, x.shape[3]), "bilinear")
+        x = 2.0 * x - 1.0  # (0,1) -> (-1,1)  (inception.py:151-154)
+        x = BasicConv2d(32, (3, 3), stride=2, name="Conv2d_1a_3x3")(x)
+        x = BasicConv2d(32, (3, 3), name="Conv2d_2a_3x3")(x)
+        x = BasicConv2d(64, (3, 3), padding=(1, 1), name="Conv2d_2b_3x3")(x)
+        x = max_pool(x, 3, 2)
+        x = BasicConv2d(80, (1, 1), name="Conv2d_3b_1x1")(x)
+        x = BasicConv2d(192, (3, 3), name="Conv2d_4a_3x3")(x)
+        x = max_pool(x, 3, 2)
+        x = InceptionA(32, name="Mixed_5b")(x)
+        x = InceptionA(64, name="Mixed_5c")(x)
+        x = InceptionA(64, name="Mixed_5d")(x)
+        x = InceptionB(name="Mixed_6a")(x)
+        x = InceptionC(128, name="Mixed_6b")(x)
+        x = InceptionC(160, name="Mixed_6c")(x)
+        x = InceptionC(160, name="Mixed_6d")(x)
+        x = InceptionC(192, name="Mixed_6e")(x)
+        x = InceptionD(name="Mixed_7a")(x)
+        x = InceptionE("avg", name="Mixed_7b")(x)
+        x = InceptionE("max", name="Mixed_7c")(x)
+        return jnp.mean(x, axis=(1, 2))  # global avg pool -> (B, 2048)
+
+
+# ------------------------------------------------------- weight conversion ---
+def params_from_torch_state_dict(state_dict, template) -> dict:
+    """Convert a pytorch-fid .pth state dict into this module's variables.
+
+    torch convs are OIHW -> flax HWIO; Linear heads (fc) are dropped.
+    ``template`` is the variables dict from ``init`` (for structure checks).
+    """
+
+    def t2n(v):
+        return np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach") else v)
+
+    params = jax.tree_util.tree_map(lambda x: np.array(x), template["params"])
+    stats = jax.tree_util.tree_map(lambda x: np.array(x), template["batch_stats"])
+    for key, val in state_dict.items():
+        parts = key.split(".")
+        if parts[0] in ("fc", "AuxLogits"):
+            continue
+        *scope, leaf = parts
+        # torch: Mixed_5b.branch1x1.conv.weight -> flax params[Mixed_5b][branch1x1][conv][kernel]
+        v = t2n(val)
+        node = params
+        snode = stats
+        ok = True
+        for s in scope[:-1]:
+            if s not in node:
+                ok = False
+                break
+            node = node[s]
+            snode = snode.get(s, {}) if isinstance(snode, dict) else {}
+        if not ok:
+            continue
+        mod = scope[-1]
+        if mod == "conv" and leaf == "weight":
+            node["conv"]["kernel"][...] = v.transpose(2, 3, 1, 0)
+        elif mod == "bn" and leaf == "weight":
+            node["bn"]["scale"][...] = v
+        elif mod == "bn" and leaf == "bias":
+            node["bn"]["bias"][...] = v
+        elif mod == "bn" and leaf == "running_mean":
+            snode["bn"]["mean"][...] = v
+        elif mod == "bn" and leaf == "running_var":
+            snode["bn"]["var"][...] = v
+    return {"params": params, "batch_stats": stats}
+
+
+def load_fid_network(weights_path: Optional[str] = None, resize_input: bool = True):
+    """Returns (apply_fn, variables). apply_fn(x_nhwc_01) -> (B, 2048)."""
+    model = InceptionV3FID(resize_input=resize_input)
+    dummy = jnp.zeros((1, 299 if not resize_input else 64, 299 if not resize_input else 64, 3))
+    variables = model.init(jax.random.key(0), dummy)
+    path = weights_path
+    if path is None:
+        for root in (os.getcwd(), os.path.expanduser("~/.cache/soft_intro_vae_tpu")):
+            cand = os.path.join(root, FID_WEIGHTS_FILENAME)
+            if os.path.exists(cand):
+                path = cand
+                break
+    if path and os.path.exists(path):
+        import torch
+
+        sd = torch.load(path, map_location="cpu")
+        variables = params_from_torch_state_dict(sd, variables)
+        variables = jax.tree_util.tree_map(jnp.asarray, variables)
+    else:
+        warnings.warn(
+            "FID inception weights not found — using deterministic random "
+            "init. FID values are self-consistent but NOT comparable to "
+            f"published numbers. Provide {FID_WEIGHTS_FILENAME} for parity.")
+
+    def apply_fn(x):
+        return model.apply(variables, x)
+
+    return apply_fn, variables
+
+
+# --------------------------------------------------------------- distance ---
+def sqrtm_newton_schulz(a: Array, iters: int = 30) -> Array:
+    """Matrix square root via Newton–Schulz — matmul-only (MXU-friendly)."""
+    a = a.astype(jnp.float64) if jax.config.jax_enable_x64 else a.astype(jnp.float32)
+    dim = a.shape[0]
+    norm = jnp.linalg.norm(a)
+    y = a / norm
+    z = jnp.eye(dim, dtype=a.dtype)
+    eye3 = 3.0 * jnp.eye(dim, dtype=a.dtype)
+
+    def body(_, yz):
+        y, z = yz
+        t = 0.5 * (eye3 - z @ y)
+        return (y @ t, t @ z)
+
+    y, _ = jax.lax.fori_loop(0, iters, body, (y, z))
+    return y * jnp.sqrt(norm)
+
+
+def frechet_distance(mu1, sigma1, mu2, sigma2, eps: float = 1e-6, method: str = "newton") -> float:
+    """d^2 = |mu1-mu2|^2 + Tr(S1 + S2 - 2 sqrt(S1 S2)) (fid_score.py:274-325)."""
+    mu1, mu2 = np.asarray(mu1), np.asarray(mu2)
+    sigma1, sigma2 = np.asarray(sigma1), np.asarray(sigma2)
+    diff = mu1 - mu2
+    if method == "scipy":
+        from scipy import linalg
+
+        covmean, _ = linalg.sqrtm(sigma1.dot(sigma2), disp=False)
+        if not np.isfinite(covmean).all():
+            offset = np.eye(sigma1.shape[0]) * eps
+            covmean = linalg.sqrtm((sigma1 + offset).dot(sigma2 + offset))
+        if np.iscomplexobj(covmean):
+            covmean = covmean.real
+        tr_covmean = np.trace(covmean)
+    else:
+        offset = np.eye(sigma1.shape[0], dtype=np.float32) * eps
+        prod = jnp.asarray((sigma1 + offset) @ (sigma2 + offset), jnp.float32)
+        tr_covmean = float(jnp.trace(sqrtm_newton_schulz(prod)))
+    return float(diff.dot(diff) + np.trace(sigma1) + np.trace(sigma2) - 2.0 * tr_covmean)
+
+
+def compute_statistics_streaming(apply_fn: Callable, batches: Iterable[np.ndarray]) -> Tuple[np.ndarray, np.ndarray]:
+    """One-pass mean/covariance of pool3 activations over an iterable of
+    NHWC [0,1] batches. Forward jitted; accumulation in float64 on host."""
+    fwd = jax.jit(apply_fn)
+    n = 0
+    s = None
+    ss = None
+    for b in batches:
+        a = np.asarray(fwd(jnp.asarray(b)), np.float64)
+        if s is None:
+            s = a.sum(0)
+            ss = a.T @ a
+        else:
+            s += a.sum(0)
+            ss += a.T @ a
+        n += a.shape[0]
+    if n < 2:
+        raise ValueError("need at least 2 samples for covariance")
+    mu = s / n
+    cov = (ss - n * np.outer(mu, mu)) / (n - 1)
+    return mu, cov
+
+
+def fid_between_batches(apply_fn, real_batches, fake_batches, method: str = "newton") -> float:
+    mu1, s1 = compute_statistics_streaming(apply_fn, real_batches)
+    mu2, s2 = compute_statistics_streaming(apply_fn, fake_batches)
+    return frechet_distance(mu1, s1, mu2, s2, method=method)
+
+
+# ------------------------------------------------ trainer integration hook ---
+def make_training_fid(dec, spec, cfg, weights_path: Optional[str] = None):
+    """FID hook for the image trainer: real stats from the dataset once,
+    fake stats from decoder samples each call (fid cadence: reference
+    train_soft_intro_vae.py:472-487). Samples are clipped and uint8
+    round-tripped like get_activations_generate (fid_score.py:244-257)."""
+    import jax.random as jr
+
+    apply_fn, _ = load_fid_network(weights_path)
+    state_cache = {}
+
+    def fid_fn(state, dataset=None, num_images: int = 2048, batch_size: int = 64):
+        decode = jax.jit(lambda p, z: dec.apply({"params": p}, z, train=False))
+        if "real" not in state_cache:
+            if dataset is None:
+                raise ValueError("first FID call needs the dataset")
+            def real_iter():
+                seen = 0
+                for b in dataset.epoch(batch_size, shuffle=False):
+                    if seen >= num_images:
+                        break
+                    seen += b.shape[0]
+                    yield b
+            state_cache["real"] = compute_statistics_streaming(apply_fn, real_iter())
+        mu1, s1 = state_cache["real"]
+
+        def fake_iter():
+            made = 0
+            i = 0
+            while made < num_images:
+                k = jr.fold_in(state.rng, 555 + i)
+                z = jr.normal(k, (batch_size, cfg.z_dim), jnp.float32)
+                x = decode(state.params_d, z)
+                x = jnp.clip(x, 0.0, 1.0)
+                x = jnp.round(x * 255.0) / 255.0  # uint8 round-trip parity
+                made += batch_size
+                i += 1
+                yield np.asarray(x)
+        mu2, s2 = compute_statistics_streaming(apply_fn, fake_iter())
+        return frechet_distance(mu1, s1, mu2, s2)
+
+    return fid_fn

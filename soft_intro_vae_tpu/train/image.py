@@ -187,7 +187,7 @@ def train_soft_intro_vae(cfg: ImageConfig, dataset: Optional[ArrayDataset] = Non
     start = time.time()
     for epoch in range(cfg.start_epoch, cfg.num_epochs):
         if fid_fn is not None and (epoch == 0 or (epoch >= 100 and epoch % 20 == 0) or epoch == cfg.num_epochs - 1):
-            fid = fid_fn(state)
+            fid = fid_fn(state, dataset, num_images=min(cfg.fid_num_images, len(dataset)))
             if cfg.verbose:
                 print(f"epoch {epoch} fid: {fid:.3f}")
             if summary["best_fid"] is None or fid < summary["best_fid"]:

@@ -8,9 +8,20 @@ collective code paths compile and execute exactly as they would on an
 import os
 
 os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+# the axon TPU sitecustomize force-sets jax_platforms="axon,cpu" at interpreter
+# startup; override it again so tests really run on the virtual CPU mesh
+jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
+
+
+def pytest_sessionstart(session):
+    assert jax.devices()[0].platform == "cpu", jax.devices()
+    assert len(jax.devices()) == 8, "expected 8 virtual CPU devices"
 
 
 @pytest.fixture(scope="session")

@@ -1,0 +1,146 @@
+"""FID stack tests: pooling patches vs torch, sqrtm, Fréchet, end-to-end."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+from soft_intro_vae_tpu.metrics.fid import (
+    BasicConv2d,
+    InceptionV3FID,
+    avg_pool_no_pad,
+    compute_statistics_streaming,
+    fid_between_batches,
+    frechet_distance,
+    max_pool,
+    sqrtm_newton_schulz,
+)
+
+
+class TestPoolingPatches:
+    def test_avg_pool_no_pad_matches_torch(self):
+        # the FID patch: count_include_pad=False
+        x = np.random.RandomState(0).randn(2, 9, 9, 5).astype(np.float32)
+        got = np.asarray(avg_pool_no_pad(jnp.array(x)))
+        ref = F.avg_pool2d(torch.tensor(x.transpose(0, 3, 1, 2)), 3, 1, 1,
+                           count_include_pad=False).numpy().transpose(0, 2, 3, 1)
+        np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+
+    def test_max_pool_same_matches_torch(self):
+        x = np.random.RandomState(1).randn(2, 8, 8, 4).astype(np.float32)
+        got = np.asarray(max_pool(jnp.array(x), 3, 1, same=True))
+        ref = F.max_pool2d(torch.tensor(x.transpose(0, 3, 1, 2)), 3, 1, 1).numpy().transpose(0, 2, 3, 1)
+        np.testing.assert_allclose(got, ref, rtol=1e-5)
+
+    def test_max_pool_stride2_matches_torch(self):
+        x = np.random.RandomState(2).randn(2, 35, 35, 4).astype(np.float32)
+        got = np.asarray(max_pool(jnp.array(x), 3, 2))
+        ref = F.max_pool2d(torch.tensor(x.transpose(0, 3, 1, 2)), 3, 2).numpy().transpose(0, 2, 3, 1)
+        np.testing.assert_allclose(got, ref, rtol=1e-5)
+
+
+class TestBasicConv:
+    def test_matches_torch_conv_bn_relu(self):
+        """Cross-check conv padding/BN-eval semantics against torch."""
+        rs = np.random.RandomState(3)
+        w = rs.randn(8, 3, 3, 3).astype(np.float32) * 0.1     # OIHW
+        gamma = rs.rand(8).astype(np.float32) + 0.5
+        beta = rs.randn(8).astype(np.float32) * 0.1
+        mean = rs.randn(8).astype(np.float32) * 0.1
+        var = rs.rand(8).astype(np.float32) + 0.5
+        x = rs.randn(2, 10, 10, 3).astype(np.float32)
+
+        mod = BasicConv2d(8, (3, 3), stride=2, padding=(1, 1))
+        variables = mod.init(jax.random.key(0), jnp.array(x))
+        variables = {
+            "params": {"conv": {"kernel": jnp.array(w.transpose(2, 3, 1, 0))},
+                       "bn": {"scale": jnp.array(gamma), "bias": jnp.array(beta)}},
+            "batch_stats": {"bn": {"mean": jnp.array(mean), "var": jnp.array(var)}},
+        }
+        got = np.asarray(mod.apply(variables, jnp.array(x)))
+
+        tx = torch.tensor(x.transpose(0, 3, 1, 2))
+        ty = F.conv2d(tx, torch.tensor(w), stride=2, padding=1)
+        ty = F.batch_norm(ty, torch.tensor(mean), torch.tensor(var),
+                          torch.tensor(gamma), torch.tensor(beta), False, 0.1, 1e-3)
+        ref = F.relu(ty).numpy().transpose(0, 2, 3, 1)
+        np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+
+class TestInceptionTopology:
+    def test_output_is_2048(self):
+        model = InceptionV3FID(resize_input=True)
+        x = jnp.zeros((2, 32, 32, 3))
+        variables = model.init(jax.random.key(0), x)
+        out = model.apply(variables, x)
+        assert out.shape == (2, 2048)
+
+    def test_param_count_matches_pt_inception(self):
+        """pt_inception conv trunk (no fc/aux): ~21.8M params."""
+        model = InceptionV3FID()
+        variables = model.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)))
+        n = sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(variables["params"]))
+        # torchvision inception_v3 conv trunk = 21,802,784 weights+bn affine
+        assert 21_500_000 < n < 22_100_000, n
+
+
+class TestFrechet:
+    def test_newton_schulz_matches_scipy(self):
+        from scipy import linalg
+
+        rs = np.random.RandomState(4)
+        a = rs.randn(32, 16).astype(np.float32)
+        s = a @ a.T + 0.1 * np.eye(32, dtype=np.float32)  # SPD
+        got = np.asarray(sqrtm_newton_schulz(jnp.array(s), iters=40))
+        ref = linalg.sqrtm(s).real
+        np.testing.assert_allclose(got, ref, rtol=1e-3, atol=1e-3)
+
+    def test_zero_for_identical_stats(self):
+        rs = np.random.RandomState(5)
+        mu = rs.randn(16)
+        a = rs.randn(64, 16)
+        s = np.cov(a, rowvar=False)
+        d = frechet_distance(mu, s, mu, s)
+        assert abs(d) < 1e-2
+
+    def test_newton_matches_scipy_method(self):
+        rs = np.random.RandomState(6)
+        mu1, mu2 = rs.randn(16), rs.randn(16)
+        a1, a2 = rs.randn(200, 16), rs.randn(200, 16) * 1.5 + 0.3
+        s1 = np.cov(a1, rowvar=False)
+        s2 = np.cov(a2, rowvar=False)
+        d_n = frechet_distance(mu1, s1, mu2, s2, method="newton")
+        d_s = frechet_distance(mu1, s1, mu2, s2, method="scipy")
+        assert d_n == pytest.approx(d_s, rel=1e-2)
+
+    def test_analytic_gaussian_case(self):
+        # N(0, I) vs N(m, I): d^2 = |m|^2
+        eye = np.eye(8)
+        m = np.full(8, 0.5)
+        d = frechet_distance(np.zeros(8), eye, m, eye)
+        assert d == pytest.approx(float(m @ m), abs=1e-2)
+
+
+class TestEndToEnd:
+    def test_fid_small_for_same_distribution(self):
+        # tiny random-init feature net is fine: FID is self-consistent
+        rs = np.random.RandomState(7)
+
+        def feat(x):  # stand-in feature extractor, deterministic
+            k = jnp.asarray(rs.randn(27, 32).astype(np.float32) * 0.2)
+            patches = x[:, ::4, ::4, :]
+            b = patches.shape[0]
+            flat = patches.reshape(b, -1)[:, :27]
+            return jnp.tanh(flat @ k)
+
+        def batches(seed, shift=0.0):
+            r = np.random.RandomState(seed)
+            for _ in range(8):
+                yield np.clip(r.rand(32, 16, 16, 3) + shift, 0, 1).astype(np.float32)
+
+        fid_same = fid_between_batches(feat, batches(0), batches(1))
+        fid_diff = fid_between_batches(feat, batches(0), batches(2, shift=0.4))
+        assert fid_same < fid_diff
+        assert fid_same < 0.2  # finite-sample noise floor (256 samples, 32-d)
