@@ -1,0 +1,354 @@
+"""ALAE/StyleGAN-style networks for Style-SoftIntroVAE.
+
+Capability parity with /root/reference/style_soft_intro_vae/net.py and
+model.py: pixel_norm, style_mod (AdaIN), Blur ([1,2,1]^2 depthwise),
+EncodeBlock (per-block style statistics -> w), DecodeBlock (noise inject or
+deterministic correction, two AdaIN stages), FromRGB/ToRGB, EncoderDefault
+(styles-sum), GeneratorDefault (const 4x4 input, progressive decode with
+blend), Mapping{ToLatent,FromLatent,ToLatentNoStyle}.
+
+TPU-first structure: ``lod`` and the blend-path switch are STATIC — the
+trainer compiles one XLA program per (lod, in_transition) pair, each with
+fully static shapes (SURVEY §5 long-context note). ``blend`` is a traced
+scalar inside the transition program. Layout NHWC.
+
+All pixel-level tensors are float32; lreq scaling keeps activations O(1).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from soft_intro_vae_tpu.models.lreq import LreqConv2d, LreqConvTranspose2d, LreqDense
+
+Array = jax.Array
+
+
+def pixel_norm(x: Array, epsilon: float = 1e-8) -> Array:
+    return x * jax.lax.rsqrt(jnp.mean(jnp.square(x), axis=-1, keepdims=True) + epsilon)
+
+
+def style_mod(x: Array, style: Array) -> Array:
+    """AdaIN: style (B, 2C) -> x * (s0 + 1) + s1 (net.py:32-34). NHWC."""
+    s = style.reshape(style.shape[0], 2, x.shape[-1])
+    return x * (s[:, 0][:, None, None, :] + 1.0) + s[:, 1][:, None, None, :]
+
+
+def upscale2d(x: Array, factor: int = 2) -> Array:
+    b, h, w, c = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, factor, w, factor, c))
+    return x.reshape(b, h * factor, w * factor, c)
+
+
+def downscale2d(x: Array, factor: int = 2) -> Array:
+    return nn.avg_pool(x, (factor, factor), strides=(factor, factor))
+
+
+def blur3x3(x: Array) -> Array:
+    """Depthwise [1,2,1]x[1,2,1]/16 blur (net.py:49-60)."""
+    f = jnp.array([1.0, 2.0, 1.0])
+    k = (f[:, None] * f[None, :]) / 16.0
+    c = x.shape[-1]
+    kernel = jnp.tile(k[:, :, None, None], (1, 1, 1, c))  # HWIO, feature_group
+    return jax.lax.conv_general_dilated(
+        x, kernel, (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=c,
+    )
+
+
+def instance_norm(x: Array, eps: float) -> Array:
+    m = jnp.mean(x, axis=(1, 2), keepdims=True)
+    v = jnp.mean(jnp.square(x - m), axis=(1, 2), keepdims=True)
+    return (x - m) * jax.lax.rsqrt(v + eps)
+
+
+def _spatial_stats(x: Array) -> Array:
+    """(mean, std) over spatial dims, concatenated channelwise -> (B, 2C)."""
+    m = jnp.mean(x, axis=(1, 2))
+    std = jnp.sqrt(jnp.mean(jnp.square(x - m[:, None, None, :]), axis=(1, 2)))
+    return jnp.concatenate([m, std], axis=-1)
+
+
+class EncodeBlock(nn.Module):
+    """net.py:63-126."""
+
+    inputs: int
+    outputs: int
+    latent_size: int
+    last: bool = False
+    fused_scale: bool = True
+
+    @nn.compact
+    def __call__(self, x: Array) -> Tuple[Array, Array, Array]:
+        x = LreqConv2d(self.inputs, 3, 1, 1, use_bias=False, name="conv_1")(x)
+        x = x + self.param("bias_1", nn.initializers.zeros, (self.inputs,))
+        x = nn.leaky_relu(x, 0.2)
+        style_1 = _spatial_stats(x)                      # (B, 2*inputs)
+        x = instance_norm(x, 1e-5)                       # torch IN default eps
+        if self.last:
+            # NB the reference does NOT add bias_2 on the dense path (net.py:103-108)
+            x = LreqDense(self.outputs, name="dense")(x.reshape(x.shape[0], -1))
+            x = nn.leaky_relu(x, 0.2)
+            w1 = LreqDense(self.latent_size, name="style_1")(style_1)
+            w2 = LreqDense(self.latent_size, name="style_2")(x)
+            return x, w1, w2
+        if self.fused_scale:
+            x = LreqConv2d(self.outputs, 3, 2, 1, use_bias=False,
+                           transform_kernel=True, name="conv_2")(blur3x3(x))
+        else:
+            x = LreqConv2d(self.outputs, 3, 1, 1, use_bias=False, name="conv_2")(blur3x3(x))
+            x = downscale2d(x)
+        x = x + self.param("bias_2", nn.initializers.zeros, (self.outputs,))
+        x = nn.leaky_relu(x, 0.2)
+        style_2 = _spatial_stats(x)
+        x = instance_norm(x, 1e-5)
+        w1 = LreqDense(self.latent_size, name="style_1")(style_1)
+        w2 = LreqDense(self.latent_size, name="style_2")(style_2)
+        return x, w1, w2
+
+
+class DecodeBlock(nn.Module):
+    """net.py:129-207."""
+
+    inputs: int
+    outputs: int
+    latent_size: int
+    has_first_conv: bool = True
+    fused_scale: bool = True
+    layer: int = 0
+
+    def _inject(self, x: Array, weight: Array, rng: Optional[Array], noise_mode: str) -> Array:
+        if noise_mode == "none":
+            # deterministic correction term (net.py:176-178)
+            s = math.pow(self.layer + 1, 0.5)
+            return x + s * jnp.exp(-x * x / (2.0 * s * s)) / math.sqrt(2 * math.pi) * 0.8
+        if noise_mode == "batch_constant":
+            shape = (1, x.shape[1], x.shape[2], 1)
+        else:
+            shape = (x.shape[0], x.shape[1], x.shape[2], 1)
+        n = jax.random.normal(rng, shape, x.dtype)
+        return x + weight * n
+
+    @nn.compact
+    def __call__(self, x: Array, s1: Array, s2: Array, rng: Optional[Array],
+                 noise_mode: str = "batch") -> Array:
+        if self.has_first_conv:
+            if self.fused_scale:
+                x = LreqConvTranspose2d(self.outputs, 3, 2, 1, use_bias=False,
+                                        transform_kernel=True, name="conv_1")(x)
+            else:
+                x = upscale2d(x)
+                x = LreqConv2d(self.outputs, 3, 1, 1, use_bias=False, name="conv_1")(x)
+            x = blur3x3(x)
+        r1, r2 = (jax.random.split(rng) if rng is not None else (None, None))
+        nw1 = self.param("noise_weight_1", nn.initializers.zeros, (self.outputs,))
+        x = self._inject(x, nw1, r1, noise_mode)
+        x = x + self.param("bias_1", nn.initializers.zeros, (self.outputs,))
+        x = nn.leaky_relu(x, 0.2)
+        x = instance_norm(x, 1e-8)
+        x = style_mod(x, LreqDense(2 * self.outputs, gain=1.0, name="style_1")(s1))
+
+        x = LreqConv2d(self.outputs, 3, 1, 1, use_bias=False, name="conv_2")(x)
+        nw2 = self.param("noise_weight_2", nn.initializers.zeros, (self.outputs,))
+        x = self._inject(x, nw2, r2, noise_mode)
+        x = x + self.param("bias_2", nn.initializers.zeros, (self.outputs,))
+        x = nn.leaky_relu(x, 0.2)
+        x = instance_norm(x, 1e-8)
+        x = style_mod(x, LreqDense(2 * self.outputs, gain=1.0, name="style_2")(s2))
+        return x
+
+
+class FromRGB(nn.Module):
+    outputs: int
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        return nn.leaky_relu(LreqConv2d(self.outputs, 1, 1, 0, name="from_rgb")(x), 0.2)
+
+
+class ToRGB(nn.Module):
+    channels: int
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        return LreqConv2d(self.channels, 1, 1, 0, gain=0.03, name="to_rgb")(x)
+
+
+class StyleEncoder(nn.Module):
+    """EncoderDefault (net.py:234-319): styles-sum output (B, 1, latent).
+
+    ``lod`` is static. ``blend`` is a traced scalar used only on the
+    transition path (encode2, net.py:279-300).
+    """
+
+    startf: int = 32
+    maxf: int = 256
+    layer_count: int = 3
+    latent_size: int = 128
+    channels: int = 3
+    with_fc_head: bool = False  # EncoderWithFC variant (net.py:322-409)
+
+    def setup(self):
+        mul = 2
+        inputs = self.startf
+        resolution = 2 ** (self.layer_count + 1)
+        from_rgb, blocks = [], []
+        for i in range(self.layer_count):
+            outputs = min(self.maxf, self.startf * mul)
+            from_rgb.append(FromRGB(inputs, name=f"from_rgb_{i}"))
+            blocks.append(EncodeBlock(inputs, outputs, self.latent_size, last=False,
+                                      fused_scale=resolution >= 128, name=f"block_{i}"))
+            resolution //= 2
+            inputs = outputs
+            mul *= 2
+        self.from_rgb = from_rgb
+        self.encode_block = blocks
+        if self.with_fc_head:
+            self.fc2 = LreqDense(1, gain=1.0, name="fc2")
+
+    def __call__(self, x: Array, lod: int, blend: Optional[Array] = None) -> Array:
+        b = x.shape[0]
+        styles = jnp.zeros((b, self.latent_size), jnp.float32)
+        first = self.layer_count - lod - 1
+        if blend is None:
+            h = self.from_rgb[first](x)
+            for i in range(first, self.layer_count):
+                h, s1, s2 = self.encode_block[i](h)
+                styles = styles + s1 + s2
+        else:
+            h = self.from_rgb[first](x)
+            h, s1, s2 = self.encode_block[first](h)
+            styles = styles + (s1 + s2) * blend
+            h_prev = self.from_rgb[first + 1](downscale2d(x))
+            h = h_prev + (h - h_prev) * blend  # torch.lerp(prev, x, blend)
+            for i in range(first + 1, self.layer_count):
+                h, s1, s2 = self.encode_block[i](h)
+                styles = styles + s1 + s2
+        out = styles[:, None, :]
+        if self.with_fc_head:
+            return out, self.fc2(h)
+        return out
+
+    def init_all(self, x_full: Array):
+        """Touch every parameter once (init helper): every lod's entry path."""
+        out = None
+        for lod in range(self.layer_count):
+            res = 2 ** (lod + 2)
+            x = x_full[:, :res, :res, :]
+            out = self(x, lod, None)
+        return out
+
+
+class StyleGenerator(nn.Module):
+    """GeneratorDefault (net.py:500-595): const 4x4 start, per-layer styled
+    decode blocks, ToRGB head per lod, blended transition path (decode2)."""
+
+    startf: int = 32
+    maxf: int = 256
+    layer_count: int = 3
+    latent_size: int = 128
+    channels: int = 3
+
+    @property
+    def layer_to_resolution(self):
+        return [2 ** (i + 2) for i in range(self.layer_count)]
+
+    def setup(self):
+        mul = 2 ** (self.layer_count - 1)
+        inputs = min(self.maxf, self.startf * mul)
+        self.const = self.param("const", nn.initializers.ones, (1, 4, 4, inputs))
+        blocks, to_rgb = [], []
+        resolution = 2
+        for i in range(self.layer_count):
+            outputs = min(self.maxf, self.startf * mul)
+            blocks.append(DecodeBlock(inputs, outputs, self.latent_size,
+                                      has_first_conv=i != 0,
+                                      fused_scale=resolution * 2 >= 128,
+                                      layer=i, name=f"block_{i}"))
+            resolution *= 2
+            to_rgb.append(ToRGB(self.channels, name=f"to_rgb_{i}"))
+            inputs = outputs
+            mul //= 2
+        self.decode_block = blocks
+        self.to_rgb = to_rgb
+
+    def __call__(self, styles: Array, lod: int, rng: Optional[Array],
+                 blend: Optional[Array] = None, noise_mode: str = "batch") -> Array:
+        b = styles.shape[0]
+        x = jnp.broadcast_to(self.const, (b,) + self.const.shape[1:])
+        rngs = jax.random.split(rng, self.layer_count) if rng is not None else [None] * self.layer_count
+        if blend is None:
+            for i in range(lod + 1):
+                x = self.decode_block[i](x, styles[:, 2 * i], styles[:, 2 * i + 1], rngs[i], noise_mode)
+            return self.to_rgb[lod](x)
+        for i in range(lod):
+            x = self.decode_block[i](x, styles[:, 2 * i], styles[:, 2 * i + 1], rngs[i], noise_mode)
+        x_prev = self.to_rgb[lod - 1](x)
+        x = self.decode_block[lod](x, styles[:, 2 * lod], styles[:, 2 * lod + 1], rngs[lod], noise_mode)
+        x = self.to_rgb[lod](x)
+        x_prev = upscale2d(x_prev)  # F.interpolate default nearest (net.py:570)
+        return x_prev + (x - x_prev) * blend
+
+    def init_all(self, styles: Array, rng: Array):
+        out = None
+        for lod in range(self.layer_count):
+            out = self(styles, lod, rng)
+        return out
+
+
+class MappingToLatent(nn.Module):
+    """net.py:707-727: 3 lrmul=0.1 leaky-relu blocks -> (B, 2, dlatent)."""
+
+    latent_size: int = 256
+    dlatent_size: int = 256
+    mapping_fmaps: int = 256
+    mapping_layers: int = 3
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        h = x.reshape(x.shape[0], -1)
+        for i in range(self.mapping_layers):
+            out = 2 * self.dlatent_size if i == self.mapping_layers - 1 else self.mapping_fmaps
+            h = nn.leaky_relu(LreqDense(out, lrmul=0.1, name=f"block_{i + 1}")(h), 0.2)
+        return h.reshape(h.shape[0], 2, h.shape[-1] // 2)
+
+
+class MappingToLatentNoStyle(nn.Module):
+    """net.py:730-751: plain lrmul=0.1 linears, no activation."""
+
+    latent_size: int = 256
+    dlatent_size: int = 256
+    mapping_fmaps: int = 256
+    mapping_layers: int = 3
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        h = x.reshape(x.shape[0], -1)
+        for i in range(self.mapping_layers):
+            out = self.dlatent_size if i == self.mapping_layers - 1 else self.mapping_fmaps
+            h = LreqDense(out, lrmul=0.1, name=f"block_{i + 1}")(h)
+        return h
+
+
+class MappingFromLatent(nn.Module):
+    """net.py:754-775: pixel_norm + lrmul=0.1 blocks, broadcast to num_layers."""
+
+    num_layers: int = 6
+    latent_size: int = 256
+    dlatent_size: int = 256
+    mapping_fmaps: int = 256
+    mapping_layers: int = 5
+
+    @nn.compact
+    def __call__(self, z: Array) -> Array:
+        h = pixel_norm(z)
+        for i in range(self.mapping_layers):
+            out = self.latent_size if i == self.mapping_layers - 1 else self.mapping_fmaps
+            h = nn.leaky_relu(LreqDense(out, lrmul=0.1, name=f"block_{i + 1}")(h), 0.2)
+        return jnp.repeat(h[:, None, :], self.num_layers, axis=1)

@@ -1,0 +1,371 @@
+"""Style-SoftIntroVAE trainer: progressive LOD, EMA, per-LOD compiled steps.
+
+Capability parity with /root/reference/style_soft_intro_vae/train_style_soft_intro_vae.py:113-431
+and launcher.py/defaults.py: yacs-style config (YAML + KEY VALUE overrides),
+per-LOD beta_neg switch (:278-286), per-LOD batch tables and LR
+(scheduler.py:61-73), optimizer reset on LOD switch, sine-blend transitions
+with input blending (:330-346), EMA shadow model updated every iteration with
+beta = 0.5^(batch/10000) (:399-401), FID on the EMA model every 10 epochs at
+max LOD (:287-299), async checkpoints, CSV tracker.
+
+TPU-first: one compiled (vanilla|intro) step per (lod, in_transition); data
+parallelism via the mesh (params replicated, batch sharded) instead of DDP;
+the EMA update runs inside the compiled step on every replica.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from bisect import bisect_right
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from soft_intro_vae_tpu.parallel import mesh as pmesh
+from soft_intro_vae_tpu.train.lod import LODDriver, pick_batch_table
+from soft_intro_vae_tpu.train.lreq_adam import scale_by_lreq_adam
+from soft_intro_vae_tpu.train.style_step import (
+    StyleModel,
+    StyleModelConfig,
+    StyleStepConfig,
+    StyleTrainState,
+    build_style_steps,
+)
+from soft_intro_vae_tpu.utils.checkpoint import Checkpointer
+from soft_intro_vae_tpu.utils.tracker import LossTracker
+
+
+@dataclasses.dataclass
+class StyleConfig:
+    """Flattened mirror of defaults.py's yacs schema."""
+
+    name: str = ""
+    output_dir: str = "results_style"
+    # DATASET
+    dataset_path: str = ""
+    dataset_size: int = 70000
+    max_resolution_level: int = 8
+    flip_images: bool = True
+    # MODEL
+    layer_count: int = 6
+    start_channel_count: int = 64
+    max_channel_count: int = 512
+    latent_space_size: int = 256
+    dlatent_avg_beta: float = 0.995
+    truncation_psi: float = 0.7
+    truncation_cutoff: int = 8
+    style_mixing_prob: float = 0.9
+    mapping_layers: int = 5
+    channels: int = 3
+    beta_kl: float = 1.0
+    beta_rec: float = 1.0
+    beta_neg: Tuple[float, ...] = (2048, 2048, 1024, 512, 512, 128, 128, 64, 64)
+    scale: float = 1.0 / (3 * 256**2)
+    # TRAIN
+    epochs_per_lod: int = 15
+    base_learning_rate: float = 0.0015
+    adam_beta2: float = 0.99
+    learning_decay_rate: float = 0.1
+    learning_decay_steps: Tuple[int, ...] = ()
+    train_epochs: int = 110
+    num_vae: int = 1
+    learning_rates: Tuple[float, ...] = (0.002,)
+    lod_2_batch_tables: Optional[Dict[str, List[int]]] = None
+    report_freq: Tuple[int, ...] = (100, 80, 60, 30, 20, 10, 10, 5, 5)
+    snapshot_freq: Tuple[int, ...] = (300, 300, 300, 100, 50, 30, 20, 20, 10)
+    # runtime
+    seed: int = 0
+    num_devices: Optional[int] = None
+    use_synthetic: bool = False
+    synthetic_n: int = 512
+    fid_every: int = 10
+    fid_num_images: int = 2048
+    with_fid: bool = False
+    verbose: bool = True
+
+    @classmethod
+    def from_yaml(cls, path: str, overrides: Sequence[str] = ()) -> "StyleConfig":
+        """Load a reference-format YAML (configs/ffhq256.yaml) + KEY VALUE
+        override list (launcher.py:42-50 merge semantics)."""
+        import yaml
+
+        with open(path) as f:
+            y = yaml.safe_load(f) or {}
+        for i in range(0, len(overrides) - 1, 2):
+            key, val = overrides[i], overrides[i + 1]
+            node = y
+            parts = key.split(".")
+            for p in parts[:-1]:
+                node = node.setdefault(p, {})
+            node[parts[-1]] = yaml.safe_load(val)
+        d = y.get("DATASET", {})
+        m = y.get("MODEL", {})
+        t = y.get("TRAIN", {})
+        tables = {k.replace("LOD_2_BATCH_", ""): v for k, v in t.items() if k.startswith("LOD_2_BATCH_")}
+        return cls(
+            name=y.get("NAME", ""),
+            output_dir=y.get("OUTPUT_DIR", "results_style"),
+            dataset_path=d.get("PATH", ""),
+            dataset_size=d.get("SIZE", 70000),
+            max_resolution_level=d.get("MAX_RESOLUTION_LEVEL", 8),
+            flip_images=d.get("FLIP_IMAGES", True),
+            layer_count=m.get("LAYER_COUNT", 6),
+            start_channel_count=m.get("START_CHANNEL_COUNT", 64),
+            max_channel_count=m.get("MAX_CHANNEL_COUNT", 512),
+            latent_space_size=m.get("LATENT_SPACE_SIZE", 256),
+            dlatent_avg_beta=m.get("DLATENT_AVG_BETA", 0.995),
+            truncation_psi=m.get("TRUNCATIOM_PSI", 0.7),
+            truncation_cutoff=m.get("TRUNCATIOM_CUTOFF", 8),
+            style_mixing_prob=m.get("STYLE_MIXING_PROB", 0.9),
+            mapping_layers=m.get("MAPPING_LAYERS", 5),
+            channels=m.get("CHANNELS", 3),
+            beta_kl=m.get("BETA_KL", 1.0),
+            beta_rec=m.get("BETA_REC", 1.0),
+            beta_neg=tuple(m.get("BETA_NEG", cls.beta_neg)),
+            scale=m.get("SCALE", 1.0 / (3 * 256**2)),
+            epochs_per_lod=t.get("EPOCHS_PER_LOD", 15),
+            base_learning_rate=t.get("BASE_LEARNING_RATE", 0.0015),
+            adam_beta2=t.get("ADAM_BETA_1", 0.99),
+            learning_decay_rate=t.get("LEARNING_DECAY_RATE", 0.1),
+            learning_decay_steps=tuple(t.get("LEARNING_DECAY_STEPS", ())),
+            train_epochs=t.get("TRAIN_EPOCHS", 110),
+            num_vae=t.get("NUM_VAE", 1),
+            learning_rates=tuple(t.get("LEARNING_RATES", (0.002,))),
+            lod_2_batch_tables=tables or None,
+        )
+
+
+class MultiResImages:
+    """Per-LOD image feed: base images at max resolution, box-downscaled to
+    the LOD's power-of-two size (the reference reads per-LOD TFRecords
+    prepared offline; same pixels, computed on the fly here).
+    Values are float32 in [0, 255] (reference feeds uint8 then /127.5-1)."""
+
+    def __init__(self, images_u8: np.ndarray, seed: int = 0, flip: bool = True):
+        assert images_u8.ndim == 4
+        self.base = images_u8.astype(np.float32)
+        self.rng = np.random.default_rng(seed)
+        self.flip = flip
+        self._cache: Dict[int, np.ndarray] = {}
+
+    def __len__(self):
+        return self.base.shape[0]
+
+    @classmethod
+    def synthetic(cls, n: int, resolution: int, channels: int = 3, seed: int = 0):
+        rng = np.random.default_rng(seed)
+        base = rng.random((n, 8, 8, channels)).astype(np.float32)
+        reps = resolution // 8
+        img = np.repeat(np.repeat(base, reps, 1), reps, 2)
+        noise = rng.random((n, resolution, resolution, channels)).astype(np.float32)
+        return cls(np.clip(0.85 * img + 0.15 * noise, 0, 1) * 255.0, seed=seed)
+
+    def at_resolution(self, res: int) -> np.ndarray:
+        if res not in self._cache:
+            cur = self.base
+            while cur.shape[1] > res:
+                b, h, w, c = cur.shape
+                cur = cur.reshape(b, h // 2, 2, w // 2, 2, c).mean(axis=(2, 4))
+            self._cache[res] = cur.astype(np.float32)
+        return self._cache[res]
+
+    def epoch(self, res: int, batch_size: int, drop_last: bool = True):
+        data = self.at_resolution(res)
+        n = data.shape[0]
+        idx = self.rng.permutation(n)
+        end = n - (n % batch_size) if drop_last else n
+        for i in range(0, end, batch_size):
+            batch = data[idx[i : i + batch_size]]
+            if self.flip:
+                flip = self.rng.random(batch.shape[0]) < 0.5
+                batch = batch.copy()
+                batch[flip] = batch[flip][:, :, ::-1, :]
+            yield batch
+
+
+def _lr_for(cfg: StyleConfig, epoch: int, lod: int) -> float:
+    base = cfg.learning_rates[min(lod, len(cfg.learning_rates) - 1)]
+    return base * cfg.learning_decay_rate ** bisect_right(list(cfg.learning_decay_steps), epoch)
+
+
+def build_style_training(cfg: StyleConfig):
+    mc = StyleModelConfig(
+        startf=cfg.start_channel_count, maxf=cfg.max_channel_count,
+        layer_count=cfg.layer_count, latent_size=cfg.latent_space_size,
+        mapping_layers=cfg.mapping_layers, channels=cfg.channels,
+        dlatent_avg_beta=cfg.dlatent_avg_beta, style_mixing_prob=cfg.style_mixing_prob,
+        truncation_psi=cfg.truncation_psi, truncation_cutoff=cfg.truncation_cutoff,
+    )
+    model = StyleModel(mc)
+    opt = scale_by_lreq_adam(beta2=cfg.adam_beta2)
+    root = jax.random.key(cfg.seed)
+    k_init, k_state = jax.random.split(root)
+    params_e, params_d, buffers = model.init_params(k_init)
+    copy = lambda t: jax.tree_util.tree_map(lambda x: x.copy(), t)
+    state = StyleTrainState(
+        step=jnp.zeros((), jnp.int32),
+        params_e=params_e, params_d=params_d, buffers=buffers,
+        ema_e=copy(params_e), ema_d=copy(params_d), ema_buffers=copy(buffers),
+        opt_e=opt.init(params_e), opt_d=opt.init(params_d),
+        lr=jnp.asarray(cfg.base_learning_rate, jnp.float32),
+        ema_beta=jnp.asarray(0.5 ** (32 / 10000.0), jnp.float32),
+        rng=k_state,
+    )
+    mesh = pmesh.make_data_mesh(cfg.num_devices)
+    state = pmesh.shard_state(state, mesh)
+    return model, opt, state, mesh
+
+
+def train_style_soft_intro_vae(cfg: StyleConfig, dataset: Optional[MultiResImages] = None):
+    """Run the style recipe; returns (state, summary)."""
+    max_res = 2 ** cfg.max_resolution_level
+    model_res = 2 ** (cfg.layer_count + 1)
+    if dataset is None:
+        if not cfg.use_synthetic:
+            raise NotImplementedError(
+                "provide a MultiResImages dataset (TFRecord ingestion arrives with the "
+                "native data loader) or set use_synthetic=True")
+        dataset = MultiResImages.synthetic(cfg.synthetic_n, min(max_res, model_res),
+                                           cfg.channels, seed=cfg.seed)
+
+    model, opt, state, mesh = build_style_training(cfg)
+    tables = cfg.lod_2_batch_tables or {"1GPU": [128, 128, 128, 32, 16, 8, 4]}
+    world = mesh.devices.size
+    lod2batch = LODDriver(
+        lod_2_batch=pick_batch_table(tables, world),
+        epochs_per_lod=cfg.epochs_per_lod, layer_count=cfg.layer_count,
+        dataset_size=len(dataset), world_size=world,
+        report_freq=cfg.report_freq, snapshot_freq=cfg.snapshot_freq,
+    )
+    ckpt = Checkpointer(os.path.join(cfg.output_dir, "training_artifacts"), prefix=cfg.name + "_")
+    tracker = LossTracker(cfg.output_dir)
+
+    step_cache: Dict[Tuple[int, bool, float], Tuple] = {}
+
+    def get_steps(lod: int, blended: bool, beta_neg: float):
+        key = (lod, blended, beta_neg)
+        if key not in step_cache:
+            scfg = StyleStepConfig(latent_size=cfg.latent_space_size, beta_rec=cfg.beta_rec,
+                                   beta_kl=cfg.beta_kl, beta_neg=beta_neg,
+                                   gamma_r=1e-8, scale=cfg.scale)
+            step_cache[key] = build_style_steps(model, scfg, lod, blended, opt)
+        return step_cache[key]
+
+    fid_fn = None
+    if cfg.with_fid:
+        fid_fn = _make_style_fid(model, cfg)
+
+    summary = dict(best_fid=None, epochs_run=0, lods_seen=[])
+    start = time.time()
+    for epoch in range(cfg.train_epochs):
+        switched = lod2batch.set_epoch(epoch)
+        if switched:
+            # optimizer state reset on LOD switch (lod_driver.py:111-112)
+            state = state.replace(opt_e=opt.init(state.params_e), opt_d=opt.init(state.params_d))
+            if lod2batch.lod not in summary["lods_seen"]:
+                summary["lods_seen"].append(lod2batch.lod)
+        lod = lod2batch.lod
+        beta_neg = float(cfg.beta_neg[min(lod, len(cfg.beta_neg) - 1)])
+        global_bs = lod2batch.get_batch_size()
+        per_dev_total = global_bs  # jit-DP: feed the GLOBAL batch, mesh shards it
+        res = model.layer_to_resolution[lod]
+
+        state = state.replace(
+            lr=jnp.asarray(_lr_for(cfg, epoch, lod), jnp.float32),
+            ema_beta=jnp.asarray(0.5 ** (global_bs / 10000.0), jnp.float32),
+        )
+
+        if fid_fn is not None and epoch > cfg.epochs_per_lod * (cfg.layer_count - 1) \
+                and epoch % cfg.fid_every == 0:
+            fid = fid_fn(state, dataset, lod)
+            if cfg.verbose:
+                print(f"epoch {epoch} fid: {fid:.2f}")
+            if summary["best_fid"] is None or fid < summary["best_fid"]:
+                summary["best_fid"] = fid
+                ckpt.save(state, epoch, int(state.step), tag=f"_lod{lod}_fid_{fid:.2f}")
+
+        vanilla = epoch < cfg.num_vae
+        device_metrics = []
+        for batch in dataset.epoch(res, per_dev_total):
+            blend = lod2batch.get_blend_factor()
+            blended = lod2batch.in_transition and blend < 1.0 and lod > 0
+            vanilla_step, intro_step = get_steps(lod, blended, beta_neg)
+            x = batch / 127.5 - 1.0
+            if blended:
+                # progressive-growth input blend (:342-346)
+                b, h, w, c = x.shape
+                x_prev = x.reshape(b, h // 2, 2, w // 2, 2, c).mean(axis=(2, 4))
+                x_prev2x = np.repeat(np.repeat(x_prev, 2, 1), 2, 2)
+                x = x * blend + x_prev2x * (1.0 - blend)
+            xb = pmesh.shard_batch(jnp.asarray(x, jnp.float32), mesh)
+            step_fn = vanilla_step if vanilla else intro_step
+            state, m = step_fn(state, xb, jnp.asarray(blend, jnp.float32))
+            device_metrics.append(m)
+            lod2batch.step()
+            if lod2batch.is_time_to_save():
+                ckpt.save(state, epoch, int(jax.device_get(state.step)), async_save=True)
+
+        host = jax.device_get(device_metrics)
+        ep_mean = {k: float(np.mean([h[k] for h in host])) for k in host[0]} if host else {}
+        tracker.update(ep_mean)
+        tracker.register_means(epoch)
+        if any(np.isnan(v) for v in ep_mean.values()):
+            raise SystemError("loss is NaN")
+        summary["epochs_run"] = epoch + 1
+        if cfg.verbose and ep_mean:
+            shown = {k: round(v, 4) for k, v in ep_mean.items()
+                     if k in ("rec_loss", "real_kl", "fake_kl", "kl_diff")}
+            print(f"epoch {epoch} lod {lod} res {res} bs {global_bs}: {shown} "
+                  f"({time.time() - start:.1f}s)")
+
+    ckpt.save(state, cfg.train_epochs - 1, int(jax.device_get(state.step)), tag="_final")
+    ckpt.wait()
+    tracker.plot()
+    return state, summary
+
+
+def _make_style_fid(model: StyleModel, cfg: StyleConfig):
+    """FID on the EMA model (reference :287-299): dataset at the LOD's
+    resolution vs EMA samples with truncation disabled, [-1,1] -> [0,1]."""
+    from soft_intro_vae_tpu.metrics.fid import compute_statistics_streaming, frechet_distance, load_fid_network
+
+    apply_fn, _ = load_fid_network()
+    real_cache: Dict[int, Tuple] = {}
+
+    def fid_fn(state, dataset: MultiResImages, lod: int, batch_size: int = 32):
+        res = model.layer_to_resolution[lod]
+        if res not in real_cache:
+            def real_iter():
+                seen = 0
+                for b in dataset.epoch(res, batch_size):
+                    if seen >= cfg.fid_num_images:
+                        break
+                    seen += b.shape[0]
+                    yield b / 255.0
+            real_cache[res] = compute_statistics_streaming(apply_fn, real_iter())
+        mu1, s1 = real_cache[res]
+
+        @jax.jit
+        def sample(params_d, buffers, k):
+            z = jax.random.normal(k, (batch_size, cfg.latent_space_size), jnp.float32)
+            rec, _ = model.generate(params_d, buffers, jax.random.fold_in(k, 1), lod, None, z,
+                                    mixing=False, truncation=False, update_avg=False)
+            return jnp.clip(rec * 0.5 + 0.5, 0.0, 1.0)
+
+        def fake_iter():
+            made = 0
+            i = 0
+            while made < cfg.fid_num_images:
+                k = jax.random.fold_in(state.rng, 9000 + i)
+                yield np.asarray(sample(state.ema_d, state.ema_buffers, k))
+                made += batch_size
+                i += 1
+
+        mu2, s2 = compute_statistics_streaming(apply_fn, fake_iter())
+        return frechet_distance(mu1, s1, mu2, s2)
+
+    return fid_fn
