@@ -65,6 +65,8 @@ class ImageConfig:
     bootstrap: bool = False          # bootstrap variant (target decoder)
     copy_to_target_freq: int = 1     # bootstrap weight-sync cadence
     mirror_augment: bool = False
+    save_figures: bool = False
+    num_row: int = 8
     num_devices: Optional[int] = None  # data-parallel mesh size (None = all)
     compute_dtype: str = "float32"   # "bfloat16" for TPU speed
     synthetic_fallback: bool = True
@@ -156,6 +158,23 @@ def sync_target_decoder(state: TrainState) -> TrainState:
     return state.replace(params_d_target=copy, stats_d_target=stats)
 
 
+def _save_sample_grid(enc, dec, state: TrainState, batch: "np.ndarray", cfg: ImageConfig, cur_iter: int):
+    """[real | deterministic rec | fake] grid every test_iter
+    (train_soft_intro_vae.py:641-646)."""
+    from soft_intro_vae_tpu.utils.plotting import save_image_grid
+
+    n = min(batch.shape[0], 16)
+    x = jnp.asarray(batch[:n])
+    mu, _ = enc.apply({"params": state.params_e, "batch_stats": state.stats_e}, x, train=False)
+    rec_det = dec.apply({"params": state.params_d, "batch_stats": state.stats_d}, mu, train=False)
+    k = jax.random.fold_in(state.rng, 2**20 + cur_iter)
+    z = jax.random.normal(k, (n, cfg.z_dim), jnp.float32)
+    fake = dec.apply({"params": state.params_d, "batch_stats": state.stats_d}, z, train=False)
+    grid = np.concatenate([np.asarray(x), np.asarray(rec_det), np.asarray(fake)], axis=0)
+    fig_dir = os.path.join(cfg.result_dir, f"figures_{cfg.dataset}")
+    save_image_grid(grid, os.path.join(fig_dir, f"image_{cur_iter}.jpg"), nrow=cfg.num_row)
+
+
 def train_soft_intro_vae(cfg: ImageConfig, dataset: Optional[ArrayDataset] = None,
                          spec: Optional[ImageSpec] = None) -> Tuple[TrainState, dict]:
     """Run the image recipe; returns (state, summary dict)."""
@@ -204,6 +223,8 @@ def train_soft_intro_vae(cfg: ImageConfig, dataset: Optional[ArrayDataset] = Non
             x = pmesh.shard_batch(jnp.asarray(batch), mesh)
             state, m = step_fn(state, x)
             device_metrics.append(m)
+            if cfg.save_figures and cur_iter % cfg.test_iter == 0:
+                _save_sample_grid(enc, dec, state, batch, cfg, cur_iter)
             cur_iter += 1
 
         # one host sync per epoch

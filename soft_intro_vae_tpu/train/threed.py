@@ -54,6 +54,7 @@ class ThreeDConfig:
     valid_frequency: int = 2
     apply_random_rotation: bool = False
     reconstruction_loss: str = "chamfer"
+    save_figures: bool = False
     results_dir: str = "./results_3d"
     use_synthetic: bool = False     # hermetic fallback dataset
     synthetic_n: int = 256
@@ -210,6 +211,21 @@ def train_soft_intro_vae_3d(cfg: ThreeDConfig):
         if cfg.verbose and ep_mean:
             shown = {k: round(v, 3) for k, v in ep_mean.items() if k in ("rec", "kl_real", "kl_fake", "diff_kl")}
             print(f"epoch {epoch}: {shown}")
+
+        if cfg.save_figures:
+            # per-epoch 3x5 real/rec/sample panel (3d:396-426)
+            from soft_intro_vae_tpu.utils.plotting import save_pointcloud_panel
+
+            x5 = jnp.asarray(train_pts[:5])
+            mu, _ = enc.apply({"params": state.params_e, "batch_stats": state.stats_e},
+                              x5, train=False)
+            rec5 = np.asarray(dec.apply({"params": state.params_d}, mu))
+            k = jax.random.fold_in(state.rng, 31337 + epoch)
+            noise5 = cfg.prior_std * jax.random.normal(k, (5, cfg.z_size), jnp.float32)
+            fake5 = np.asarray(dec.apply({"params": state.params_d}, noise5))
+            save_pointcloud_panel(
+                [np.asarray(x5), rec5, fake5],
+                os.path.join(cfg.results_dir, "samples", f"figure_{epoch}.png"))
 
         if epoch % cfg.valid_frequency == 0:
             jsd = calc_jsd_valid(dec, state, valid_pts, cfg)

@@ -54,6 +54,7 @@ class ToyConfig:
     num_hidden: int = 256
     result_dir: str = "./results_toy"
     save_checkpoints: bool = False
+    save_figures: bool = False
     verbose: bool = True
 
 
@@ -142,6 +143,14 @@ def train_soft_intro_vae_toy(cfg: ToyConfig, sampler: Optional[ToyDataset] = Non
             if cfg.verbose:
                 keys = ", ".join(f"{k}: {v:.4f}" for k, v in host.items())
                 print(f"Iter {it}/{cfg.n_iter} time {time.time() - start:.1f}s: {keys}")
+            if cfg.save_figures and (it > 0 or it == cfg.n_iter - 1):
+                from soft_intro_vae_tpu.utils.plotting import save_scatter_2d
+
+                k_plot = jax.random.fold_in(state.rng, 10**7 + it)
+                fakes = np.asarray(sample(state.params_d, k_plot, 1024, cfg.z_dim))
+                name = (f"{cfg.dataset}_bkl_{cfg.beta_kl}_bneg_{cfg.beta_neg}"
+                        f"_brec_{cfg.beta_rec}_seed_{cfg.seed}_iter_{it}.png")
+                save_scatter_2d(fakes, os.path.join(cfg.result_dir, name), lim=scale * 2)
         if ckpt is not None and it > 0 and it % cfg.save_interval == 0:
             ckpt.save(state, epoch=it, iteration=it)
 
@@ -152,6 +161,17 @@ def train_soft_intro_vae_toy(cfg: ToyConfig, sampler: Optional[ToyDataset] = Non
 
     def sample_np(n):
         return np.asarray(sample(pd, k_fake, n, cfg.z_dim))
+
+    if cfg.save_figures:
+        from soft_intro_vae_tpu.metrics.toy import vae_density
+        from soft_intro_vae_tpu.utils.plotting import save_density_2d, save_scatter_2d
+
+        real = np.asarray(sampler.next_batch(batch_size=1024))
+        save_scatter_2d(real, os.path.join(cfg.result_dir, f"{cfg.dataset}_real.png"),
+                        lim=scale * 2, color="C0")
+        dens_grid = setup_grid(range_lim=scale * 2, n_pts=1024)
+        dens = vae_density(fwd, dens_grid, beta_kl=1.0, beta_rec=1.0)
+        save_density_2d(dens, 1024, os.path.join(cfg.result_dir, f"density_{cfg.dataset}.png"))
 
     res = {}
     res["sample_kl"] = sample_kl_2d(sample_np, sampler, num_samples=5000, hist_bins=100,

@@ -87,7 +87,8 @@ class TestConvModels:
         x = jnp.arange(4.0).reshape(1, 2, 2, 1)
         y = upsample_nearest_2x(x)
         assert y.shape == (1, 4, 4, 1)
-        np.testing.assert_array_equal(np.asarray(y[0, :2, :2, 0]), [[0, 0], [1, 1]])
+        expect = [[0, 0, 1, 1], [0, 0, 1, 1], [2, 2, 3, 3], [2, 2, 3, 3]]
+        np.testing.assert_array_equal(np.asarray(y[0, :, :, 0]), expect)
 
     def test_conditional_encoder(self):
         enc = ConvEncoder(cdim=1, zdim=8, channels=(8, 16), image_size=28, conditional=True, cond_dim=10)
