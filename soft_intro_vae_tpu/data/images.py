@@ -155,6 +155,41 @@ def augment_mirror(batch: np.ndarray, rng: np.random.Generator) -> np.ndarray:
     return out
 
 
+def augment_translate(batch: np.ndarray, rng: np.random.Generator, frac: float = 0.1) -> np.ndarray:
+    """Random affine translation (DigitalMonstersDataset's RandomAffine
+    translate=(0.1, 0.1), dataset.py:129-134). Edge-padded shifts."""
+    n, h, w, _ = batch.shape
+    out = np.empty_like(batch)
+    dys = rng.integers(-int(frac * h), int(frac * h) + 1, n)
+    dxs = rng.integers(-int(frac * w), int(frac * w) + 1, n)
+    for i in range(n):
+        img = batch[i]
+        img = np.roll(img, (dys[i], dxs[i]), axis=(0, 1))
+        out[i] = img
+    return out
+
+
+def augment_hue(batch: np.ndarray, rng: np.random.Generator, max_hue: float = 0.5) -> np.ndarray:
+    """Random hue rotation (ColorJitter hue=0.5 parity) for RGB in [0,1].
+
+    Implemented as a rotation in the YIQ chroma plane — cheap, vectorized,
+    and matches torchvision's hue shift semantics to good approximation."""
+    n = batch.shape[0]
+    theta = rng.uniform(-max_hue, max_hue, n).astype(np.float32) * 2.0 * np.pi
+    # RGB->YIQ / YIQ->RGB
+    m1 = np.array([[0.299, 0.587, 0.114],
+                   [0.596, -0.274, -0.322],
+                   [0.211, -0.523, 0.312]], np.float32)
+    m2 = np.linalg.inv(m1).astype(np.float32)
+    yiq = np.einsum("nhwc,dc->nhwd", batch, m1)
+    c, s = np.cos(theta), np.sin(theta)
+    i, q = yiq[..., 1].copy(), yiq[..., 2].copy()
+    yiq[..., 1] = c[:, None, None] * i - s[:, None, None] * q
+    yiq[..., 2] = s[:, None, None] * i + c[:, None, None] * q
+    rgb = np.einsum("nhwd,cd->nhwc", yiq, m2)
+    return np.clip(rgb, 0.0, 1.0)
+
+
 def make_dataset(name: str, data_root: str = "./data", seed: int = 0,
                  synthetic_fallback: bool = True, synthetic_n: int = 2048) -> Tuple[ImageSpec, ArrayDataset]:
     """Resolve a dataset name to (spec, ArrayDataset); falls back to

@@ -192,17 +192,20 @@ class StyleEncoder(nn.Module):
     layer_count: int = 3
     latent_size: int = 128
     channels: int = 3
-    with_fc_head: bool = False  # EncoderWithFC variant (net.py:322-409)
+    with_fc_head: bool = False      # EncoderWithFC variant (net.py:322-409)
+    last_block_dense: bool = False  # EncoderWithStatistics variant (net.py:412-497)
 
     def setup(self):
         mul = 2
         inputs = self.startf
         resolution = 2 ** (self.layer_count + 1)
         from_rgb, blocks = [], []
+        last_dense = self.with_fc_head or self.last_block_dense
         for i in range(self.layer_count):
             outputs = min(self.maxf, self.startf * mul)
             from_rgb.append(FromRGB(inputs, name=f"from_rgb_{i}"))
-            blocks.append(EncodeBlock(inputs, outputs, self.latent_size, last=False,
+            blocks.append(EncodeBlock(inputs, outputs, self.latent_size,
+                                      last=last_dense and i == self.layer_count - 1,
                                       fused_scale=resolution >= 128, name=f"block_{i}"))
             resolution //= 2
             inputs = outputs

@@ -156,6 +156,17 @@ class MultiResImages:
         return self.base.shape[0]
 
     @classmethod
+    def from_tfrecords(cls, paths, rank: int = 0, world_size: int = 1, seed: int = 0,
+                       flip: bool = True) -> "MultiResImages":
+        """Build from max-resolution TFRecord shards (the reference's data
+        path, dataloader.py:30-102), with per-rank shard assignment."""
+        from soft_intro_vae_tpu.data.tfrecords import load_uint8_images, shard_paths_for_rank
+
+        mine = shard_paths_for_rank(list(paths), rank, world_size)
+        imgs = load_uint8_images(mine)  # NHWC uint8
+        return cls(imgs.astype(np.float32), seed=seed, flip=flip)
+
+    @classmethod
     def synthetic(cls, n: int, resolution: int, channels: int = 3, seed: int = 0):
         rng = np.random.default_rng(seed)
         base = rng.random((n, 8, 8, channels)).astype(np.float32)
