@@ -73,15 +73,29 @@ class StepConfig:
     fresh_z_in_d: bool = False    # 3D: re-sample z with fresh eps in D-phase
     detach_expelbo_targets: bool = False  # 3D: detach rec/fake expELBO targets
     bootstrap: bool = False       # use frozen target decoder (see module doc)
+    chamfer_impl: str = "auto"    # auto | xla | pallas
 
 
-def _make_recon_fns(loss_type: str):
+def _make_recon_fns(loss_type: str, chamfer_impl: str = "auto"):
     if loss_type == "chamfer":
+        if chamfer_impl == "auto":
+            try:
+                chamfer_impl = "pallas" if jax.devices()[0].platform == "tpu" else "xla"
+            except Exception:
+                chamfer_impl = "xla"
+        if chamfer_impl == "pallas":
+            from soft_intro_vae_tpu.ops.chamfer_pallas import chamfer_distance_pallas
+
+            def chamfer_fn(a, b):
+                return chamfer_distance_pallas(a, b, 256)
+        else:
+            chamfer_fn = chamfer_distance
+
         # 3D trainer shifts both clouds by +0.5 before chamfer
         # (train_soft_intro_vae_3d.py:226,280) — distance-invariant, kept for
         # numeric parity.
         def per_sample(x, r):
-            return chamfer_distance(r + 0.5, x + 0.5)
+            return chamfer_fn(r + 0.5, x + 0.5)
 
         def mean_fn(x, r):
             return jnp.mean(per_sample(x, r))
@@ -114,7 +128,7 @@ def build_train_steps(
     """
     if cfg.bootstrap and decode_target is None:
         raise ValueError("bootstrap=True requires decode_target")
-    recon_mean, recon_per_sample = _make_recon_fns(cfg.loss_type)
+    recon_mean, recon_per_sample = _make_recon_fns(cfg.loss_type, cfg.chamfer_impl)
     kl_mean = partial(kl_divergence, logvar_o=cfg.prior_logvar, reduce="mean")
     kl_none = partial(kl_divergence, logvar_o=cfg.prior_logvar, reduce="none")
 
