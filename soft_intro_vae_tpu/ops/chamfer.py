@@ -37,7 +37,12 @@ def pairwise_sqdist(x: Array, y: Array) -> Array:
     y = y.astype(jnp.float32)
     xx = jnp.sum(jnp.square(x), axis=-1)  # (B, N)
     yy = jnp.sum(jnp.square(y), axis=-1)  # (B, M)
-    xy = jnp.einsum("bnd,bmd->bnm", x, y, preferred_element_type=jnp.float32)
+    # HIGHEST precision: the TPU default (bf16 MXU passes) loses ~1e-2
+    # relative accuracy on the cancellation-prone xx+yy-2xy form, which is
+    # visible in chamfer minima. The pallas kernel (ops/chamfer_pallas.py)
+    # computes exact f32 sum-of-squares and is the fast path on TPU.
+    xy = jnp.einsum("bnd,bmd->bnm", x, y, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
     return xx[:, :, None] + yy[:, None, :] - 2.0 * xy
 
 

@@ -69,6 +69,9 @@ class ImageConfig:
     num_row: int = 8
     num_devices: Optional[int] = None  # data-parallel mesh size (None = all)
     compute_dtype: str = "float32"   # "bfloat16" for TPU speed
+    # None = TPU default (bf16 MXU passes — fast, VAE-safe); "float32" opts
+    # into full-precision matmuls for strict numerical parity runs
+    matmul_precision: Optional[str] = None
     synthetic_fallback: bool = True
     verbose: bool = True
 
@@ -100,6 +103,8 @@ def make_model_fns(enc: ConvEncoder, dec: ConvDecoder):
 
 def build_image_training(cfg: ImageConfig, spec: ImageSpec):
     """Models, steps, mesh, and initial (sharded) state."""
+    if cfg.matmul_precision:
+        jax.config.update("jax_default_matmul_precision", cfg.matmul_precision)
     enc, dec = build_image_models(spec, cfg)
     encode, decode = make_model_fns(enc, dec)
 
@@ -216,15 +221,24 @@ def train_soft_intro_vae(cfg: ImageConfig, dataset: Optional[ArrayDataset] = Non
             ckpt.save(state, epoch, cur_iter, async_save=True)
 
         step_fn = vanilla_step if epoch < cfg.num_vae else intro_step
+
+        def host_batches():
+            for batch in dataset.epoch(cfg.batch_size, drop_last=True):
+                if cfg.mirror_augment:
+                    batch = augment_mirror(batch, aug_rng)
+                yield batch
+
         device_metrics = []
-        for batch in dataset.epoch(cfg.batch_size, drop_last=True):
-            if cfg.mirror_augment:
-                batch = augment_mirror(batch, aug_rng)
-            x = pmesh.shard_batch(jnp.asarray(batch), mesh)
+        from soft_intro_vae_tpu.data.prefetch import device_prefetch
+
+        raw_iter = device_prefetch(
+            host_batches(), size=2,
+            put_fn=lambda b: pmesh.shard_batch(jnp.asarray(b), mesh))
+        for x in raw_iter:
             state, m = step_fn(state, x)
             device_metrics.append(m)
             if cfg.save_figures and cur_iter % cfg.test_iter == 0:
-                _save_sample_grid(enc, dec, state, batch, cfg, cur_iter)
+                _save_sample_grid(enc, dec, state, np.asarray(x), cfg, cur_iter)
             cur_iter += 1
 
         # one host sync per epoch

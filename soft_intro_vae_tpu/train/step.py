@@ -178,17 +178,28 @@ def build_train_steps(
         return new_state, metrics
 
     # ---------------- introspective two-phase step ----------------
-    def intro_step(state: TrainState, x: Array):
+    def intro_step(state: TrainState, x: Array, noises=None):
+        """``noises``: optional dict overriding the step's random draws
+        (keys: noise, eps_real, eps_e_rec, eps_e_fake, eps_d_z, eps_d_rec,
+        eps_d_fake) — the golden-value parity hook (SURVEY §7: inject
+        identical noise into reference and rebuild, compare losses)."""
         b = x.shape[0]
         k = jax.random.fold_in(state.rng, state.step)
         ks = jax.random.split(k, 7)
-        noise = cfg.prior_std * jax.random.normal(ks[0], (b, cfg.z_dim), jnp.float32)
-        eps_real = jax.random.normal(ks[1], (b, cfg.z_dim), jnp.float32)
-        eps_e_rec = jax.random.normal(ks[2], (b, cfg.z_dim), jnp.float32)
-        eps_e_fake = jax.random.normal(ks[3], (b, cfg.z_dim), jnp.float32)
-        eps_d_z = jax.random.normal(ks[4], (b, cfg.z_dim), jnp.float32)
-        eps_d_rec = jax.random.normal(ks[5], (b, cfg.z_dim), jnp.float32)
-        eps_d_fake = jax.random.normal(ks[6], (b, cfg.z_dim), jnp.float32)
+        nv = noises or {}
+
+        def draw(name, i, scale=1.0):
+            if name in nv:
+                return jnp.asarray(nv[name], jnp.float32)
+            return scale * jax.random.normal(ks[i], (b, cfg.z_dim), jnp.float32)
+
+        noise = draw("noise", 0, cfg.prior_std)
+        eps_real = draw("eps_real", 1)
+        eps_e_rec = draw("eps_e_rec", 2)
+        eps_e_fake = draw("eps_e_fake", 3)
+        eps_d_z = draw("eps_d_z", 4)
+        eps_d_rec = draw("eps_d_rec", 5)
+        eps_d_fake = draw("eps_d_fake", 6)
 
         # ===================== E phase =====================
         def lossE_fn(params_e):
