@@ -46,11 +46,14 @@ def bench_jax() -> float:
 
     for _ in range(WARMUP):
         state, m = intro_step(state, x)
-    jax.block_until_ready(state.params_e)
+    # hard sync via a value fetch: on the axon platform block_until_ready
+    # returns before execution finishes, so fetching a scalar that depends on
+    # the full donated-state chain is the only honest fence
+    float(np.asarray(m["loss_e"]))
     t0 = time.perf_counter()
     for _ in range(ITERS):
         state, m = intro_step(state, x)
-    jax.block_until_ready(state.params_e)
+    float(np.asarray(m["loss_e"]))
     dt = time.perf_counter() - t0
     n_chips = mesh.devices.size
     return BATCH * ITERS / dt / n_chips
