@@ -56,6 +56,13 @@ def shard_batch(batch: Any, mesh: Mesh) -> Any:
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)
 
 
+def shard_scan_batch(batch: Any, mesh: Mesh) -> Any:
+    """Shard (K, B, ...) stacked step batches along axis 1 (the batch axis);
+    the leading K axis is the in-program lax.scan step axis."""
+    sharding = NamedSharding(mesh, P(None, DATA_AXIS))
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)
+
+
 def host_local_batch_size(global_batch_size: int, mesh: Mesh) -> int:
     """Per-chip slice of the global batch (reference lod_driver.py:59-60
     divides the global batch by world size the same way)."""

@@ -122,9 +122,14 @@ def build_train_steps(
     cfg: StepConfig,
     decode_target: Optional[DecodeFn] = None,
     donate: bool = True,
+    scan_steps: int = 1,
 ):
     """Returns ``(vanilla_step, intro_step)``, each jitted:
     ``step(state: TrainState, x: Array) -> (TrainState, metrics: dict)``.
+
+    With ``scan_steps > 1`` the signature becomes
+    ``step(state, xs: (K, B, ...)) -> (state, metrics: (K,) each)`` — K exact
+    reference steps fused into one XLA program (one device launch).
     """
     if cfg.bootstrap and decode_target is None:
         raise ValueError("bootstrap=True requires decode_target")
@@ -331,6 +336,18 @@ def build_train_steps(
         return new_state, metrics
 
     donate_argnums = (0,) if donate else ()
+    if scan_steps > 1:
+        # amortize per-launch overhead: K reference-exact steps (each with its
+        # own batch slice) fused into ONE compiled program via lax.scan
+        def scan_wrap(core):
+            def fn(state: TrainState, xs: Array):
+                return jax.lax.scan(lambda s, x: core(s, x), state, xs)
+            return fn
+
+        return (
+            jax.jit(scan_wrap(vanilla_step), donate_argnums=donate_argnums),
+            jax.jit(scan_wrap(lambda s, x: intro_step(s, x)), donate_argnums=donate_argnums),
+        )
     return (
         jax.jit(vanilla_step, donate_argnums=donate_argnums),
         jax.jit(intro_step, donate_argnums=donate_argnums),

@@ -151,3 +151,35 @@ def test_grad_reaches_encoder_through_expelbo_target():
         for p, q in zip(jax.tree_util.tree_leaves(a.params_e), jax.tree_util.tree_leaves(b.params_e))
     )
     assert not same
+
+
+def test_scanned_steps_match_sequential():
+    """scan_steps=K fuses K exact steps: results must equal K sequential calls."""
+    state1, (_, intro1) = _setup()
+    state2 = jax.tree_util.tree_map(lambda x: x, state1)
+
+    enc = EncoderMLP(x_dim=2, z_dim=2, n_layers=2, num_hidden=32)
+    dec = DecoderMLP(x_dim=2, z_dim=2, n_layers=2, num_hidden=32)
+
+    def encode(params, stats, x):
+        return enc.apply({"params": params}, x), stats
+
+    def decode(params, stats, z):
+        return dec.apply({"params": params}, z), stats
+
+    opt = optim.adam()
+    cfg = StepConfig(z_dim=2, scale=0.5)
+    _, intro_k = build_train_steps(encode=encode, decode=decode, optimizer=opt,
+                                   cfg=cfg, donate=False, scan_steps=3)
+
+    xs = jax.random.normal(jax.random.key(11), (3, 8, 2))
+    s_seq = state1
+    seq_losses = []
+    for i in range(3):
+        s_seq, m = intro1(s_seq, xs[i])
+        seq_losses.append(float(m["loss_e"]))
+    s_scan, ms = intro_k(state2, xs)
+    np.testing.assert_allclose(np.asarray(ms["loss_e"]), seq_losses, rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(s_seq.params_e),
+                    jax.tree_util.tree_leaves(s_scan.params_e)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7)
