@@ -178,3 +178,34 @@ class TestChamfer:
         gts = jnp.array(_rand((1, 16, 3), 26))
         g = jax.grad(lambda p: jnp.sum(chamfer_distance(p, gts)))(preds)
         assert np.isfinite(np.asarray(g)).all()
+
+
+class TestToyDistributions:
+    """All six procedural 2D distributions produce valid batches."""
+
+    def test_all_distributions(self):
+        from soft_intro_vae_tpu.data.toy import DISTRIBUTIONS, ToyDataset
+
+        for d in DISTRIBUTIONS:
+            ds = ToyDataset(d, seed=0)
+            b = ds.next_batch(64)
+            assert b.shape == (64, 2), d
+            assert np.isfinite(b).all(), d
+
+    def test_8gaussians_statistics(self):
+        from soft_intro_vae_tpu.data.toy import ToyDataset
+
+        ds = ToyDataset("8Gaussians", seed=1)
+        b = ds.next_batch(20000)
+        # modes at radius scale/1.414 = 2/1.414 ~ 1.414
+        r = np.linalg.norm(b, axis=1)
+        assert abs(r.mean() - 1.414) < 0.05
+
+    def test_sequential_modes_cycle(self):
+        from soft_intro_vae_tpu.data.toy import ToyDataset
+
+        ds = ToyDataset("Sequential8Gaussians", seed=2, iter_per_mode=1)
+        centers = [ds.next_batch(4).mean(0) for _ in range(8)]
+        # eight distinct cluster centers
+        dists = [np.linalg.norm(centers[i] - centers[(i + 1) % 8]) for i in range(8)]
+        assert min(dists) > 0.3
