@@ -140,6 +140,11 @@ def train_soft_intro_vae_toy(cfg: ToyConfig, sampler: Optional[ToyDataset] = Non
             host = {k: float(v) for k, v in metrics.items()}
             if any(np.isnan(v) for v in host.values()):
                 raise SystemError("loss is NaN.")
+            # observation-only deterministic reconstruction error (reference
+            # :573-578 computes it per-iter; we compute at log cadence)
+            mu_d, _, rec_d = det_fwd(state.params_e, state.params_d, batch)
+            from soft_intro_vae_tpu.ops.losses import reconstruction_loss as _rl
+            host["rec_det"] = float(_rl(batch, rec_d, cfg.recon_loss_type, "mean"))
             if cfg.verbose:
                 keys = ", ".join(f"{k}: {v:.4f}" for k, v in host.items())
                 print(f"Iter {it}/{cfg.n_iter} time {time.time() - start:.1f}s: {keys}")
