@@ -94,10 +94,16 @@ class LODDriver:
 
 
 def pick_batch_table(cfg_tables: dict, world_size: int) -> List[int]:
-    """LOD_2_BATCH_{8,4,2,1}GPU table selection (lod_driver.py:24-31); falls
-    back to the 1-device table scaled up for other mesh sizes."""
+    """LOD_2_BATCH_{8,4,2,1}GPU table selection (lod_driver.py:24-31).
+
+    The tables are GLOBAL batch sizes (the reference divides by world size,
+    lod_driver.py:59-60; our mesh shards the same way). With no exact table
+    for this mesh size, the largest table not exceeding it is used as-is —
+    scaling up would silently outgrow small datasets."""
     key = {8: "8GPU", 4: "4GPU", 2: "2GPU", 1: "1GPU"}.get(world_size)
     if key is not None and key in cfg_tables:
         return list(cfg_tables[key])
-    base = list(cfg_tables.get("1GPU", [128, 128, 128, 32, 16, 8, 4]))
-    return [b * world_size for b in base]
+    for ws in (8, 4, 2, 1):
+        if ws <= world_size and f"{ws}GPU" in cfg_tables:
+            return list(cfg_tables[f"{ws}GPU"])
+    return list(cfg_tables.get("1GPU", [128, 128, 128, 32, 16, 8, 4]))

@@ -320,6 +320,10 @@ def train_style_soft_intro_vae(cfg: StyleConfig, dataset: Optional[MultiResImage
             if lod2batch.is_time_to_save():
                 ckpt.save(state, epoch, int(jax.device_get(state.step)), async_save=True)
 
+        if not device_metrics:
+            raise ValueError(
+                f"epoch {epoch}: zero batches — global batch {global_bs} exceeds "
+                f"dataset size {len(dataset)} (check LOD batch tables)")
         host = jax.device_get(device_metrics)
         ep_mean = {k: float(np.mean([h[k] for h in host])) for k in host[0]} if host else {}
         tracker.update(ep_mean)

@@ -204,7 +204,9 @@ class TestLODDriver:
         tables = {"8GPU": [512], "1GPU": [128]}
         assert pick_batch_table(tables, 8) == [512]
         assert pick_batch_table(tables, 1) == [128]
-        assert pick_batch_table(tables, 16) == [128 * 16]
+        # no 16-chip table: largest table <= mesh size, used as-is (global batch)
+        assert pick_batch_table(tables, 16) == [512]
+        assert pick_batch_table({"1GPU": [64]}, 4) == [64]
 
 
 class TestStyleTraining:
@@ -221,6 +223,7 @@ class TestStyleTraining:
         )
         state, summary = train_style_soft_intro_vae(cfg)
         assert summary["epochs_run"] == 3
+        assert int(jax.device_get(state.step)) > 0, "no training steps executed"
         # EMA diverged from zero-init direction but stays finite
         leaves = jax.tree_util.tree_leaves(state.ema_d)
         assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
