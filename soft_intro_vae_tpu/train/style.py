@@ -85,6 +85,7 @@ class StyleConfig:
     fid_every: int = 10
     fid_num_images: int = 2048
     with_fid: bool = False
+    save_figures: bool = False
     verbose: bool = True
 
     @classmethod
@@ -319,6 +320,8 @@ def train_style_soft_intro_vae(cfg: StyleConfig, dataset: Optional[MultiResImage
             lod2batch.step()
             if lod2batch.is_time_to_save():
                 ckpt.save(state, epoch, int(jax.device_get(state.step)), async_save=True)
+            if cfg.save_figures and lod2batch.is_time_to_report():
+                _save_style_samples(model, cfg, state, lod, epoch, lod2batch.iteration)
 
         if not device_metrics:
             raise ValueError(
@@ -341,6 +344,23 @@ def train_style_soft_intro_vae(cfg: StyleConfig, dataset: Optional[MultiResImage
     ckpt.wait()
     tracker.plot()
     return state, summary
+
+
+def _save_style_samples(model: StyleModel, cfg: StyleConfig, state, lod: int,
+                        epoch: int, nimg: int, count: int = 16):
+    """EMA sample grid at report cadence (reference save_sample,
+    train_style_soft_intro_vae.py:408-413)."""
+    import jax.random as jr
+
+    from soft_intro_vae_tpu.utils.plotting import save_image_grid
+
+    k = jr.fold_in(state.rng, 40000 + epoch * 1000 + nimg // 1000)
+    z = jr.normal(k, (count, cfg.latent_space_size), jnp.float32)
+    rec, _ = model.generate(state.ema_d, state.ema_buffers, jr.fold_in(k, 1), lod, None, z,
+                            mixing=False, truncation=True, update_avg=False)
+    img = np.clip(np.asarray(rec) * 0.5 + 0.5, 0, 1)
+    path = os.path.join(cfg.output_dir, "samples", f"epoch{epoch}_nimg{nimg}.jpg")
+    save_image_grid(img, path, nrow=4)
 
 
 def _make_style_fid(model: StyleModel, cfg: StyleConfig):

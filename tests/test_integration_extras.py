@@ -1,0 +1,102 @@
+"""Deeper integration checks: BN stat threading, bf16 path, async ckpt, toy metrics."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from soft_intro_vae_tpu.data.images import ImageSpec
+from soft_intro_vae_tpu.train.image import ImageConfig, build_image_training
+from soft_intro_vae_tpu.parallel import mesh as pmesh
+
+
+def _tiny_cfg(**kw):
+    base = dict(dataset="cifar10", z_dim=8, batch_size=16, seed=0, beta_neg=16.0)
+    base.update(kw)
+    return ImageConfig(**base)
+
+
+class TestBNStatThreading:
+    def test_intro_step_updates_both_stats_collections(self):
+        spec = ImageSpec("t", 16, (8, 16), 3)
+        cfg = _tiny_cfg()
+        _, _, state, _, intro, mesh = build_image_training(cfg, spec)
+        # snapshot to host first: the jitted step donates the input state
+        old_e = jax.tree_util.tree_map(np.asarray, state.stats_e)
+        old_d = jax.tree_util.tree_map(np.asarray, state.stats_d)
+        x = pmesh.shard_batch(jax.random.uniform(jax.random.key(1), (16, 16, 16, 3)), mesh)
+        new_state, _ = intro(state, x)
+        for old, new, name in [(old_e, new_state.stats_e, "enc"),
+                               (old_d, new_state.stats_d, "dec")]:
+            pairs = zip(jax.tree_util.tree_leaves(old), jax.tree_util.tree_leaves(new))
+            assert any(not np.allclose(np.asarray(a), np.asarray(b)) for a, b in pairs), name
+
+    def test_vanilla_step_also_updates_stats(self):
+        spec = ImageSpec("t", 16, (8, 16), 3)
+        cfg = _tiny_cfg()
+        _, _, state, vanilla, _, mesh = build_image_training(cfg, spec)
+        old_d = jax.tree_util.tree_map(np.asarray, state.stats_d)
+        x = pmesh.shard_batch(jax.random.uniform(jax.random.key(2), (16, 16, 16, 3)), mesh)
+        new_state, _ = vanilla(state, x)
+        pairs = zip(jax.tree_util.tree_leaves(old_d),
+                    jax.tree_util.tree_leaves(new_state.stats_d))
+        assert any(not np.allclose(np.asarray(a), np.asarray(b)) for a, b in pairs)
+
+
+class TestBf16Path:
+    def test_intro_step_finite_in_bf16(self):
+        spec = ImageSpec("t", 16, (8, 16), 3)
+        cfg = _tiny_cfg(compute_dtype="bfloat16")
+        _, _, state, _, intro, mesh = build_image_training(cfg, spec)
+        x = pmesh.shard_batch(jax.random.uniform(jax.random.key(3), (16, 16, 16, 3)), mesh)
+        for _ in range(3):
+            state, m = intro(state, x)
+        assert all(np.isfinite(float(v)) for v in m.values())
+        # params stay f32 even with bf16 compute
+        assert all(l.dtype == jnp.float32 for l in jax.tree_util.tree_leaves(state.params_e))
+
+
+class TestCheckpointAsync:
+    def test_async_save_and_pointer(self, tmp_path):
+        from soft_intro_vae_tpu.utils.checkpoint import Checkpointer
+
+        ck = Checkpointer(str(tmp_path))
+        payload = {"a": jnp.ones((4,)), "rng": jax.random.key(1)}
+        ck.save(payload, epoch=3, iteration=30, async_save=True)
+        ck.wait()
+        assert os.path.exists(os.path.join(str(tmp_path), "last_checkpoint"))
+        restored, ep, it = ck.load_latest(payload)
+        assert (ep, it) == (3, 30)
+        np.testing.assert_array_equal(np.asarray(restored["a"]), np.ones(4))
+
+    def test_tag_and_best_selection(self, tmp_path):
+        from soft_intro_vae_tpu.utils.checkpoint import Checkpointer
+
+        ck = Checkpointer(str(tmp_path))
+        ck.save({"a": jnp.zeros(1)}, epoch=1, iteration=10)
+        ck.save({"a": jnp.ones(1)}, epoch=2, iteration=20, tag="_fid_12.3")
+        restored, ep, _ = ck.load_latest({"a": jnp.zeros(1)})
+        assert ep == 2  # pointer tracks the most recent save
+
+
+class TestToyMetricSemantics:
+    def test_same_distribution_low_kl(self):
+        from soft_intro_vae_tpu.data.toy import ToyDataset
+        from soft_intro_vae_tpu.metrics.toy import sample_kl_2d
+
+        ds = ToyDataset("8Gaussians", seed=3)
+        other = ToyDataset("8Gaussians", seed=4)
+
+        def fake_sampler(n):
+            return other.next_batch(n)
+
+        kl_same = sample_kl_2d(fake_sampler, ds, num_samples=5000, xy_range=(-2, 2))
+        shifted = ToyDataset("checkerboard", seed=5)
+
+        def fake_diff(n):
+            return shifted.next_batch(n)
+
+        kl_diff = sample_kl_2d(fake_diff, ds, num_samples=5000, xy_range=(-2, 2))
+        assert kl_same < kl_diff
