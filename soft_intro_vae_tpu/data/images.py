@@ -15,7 +15,7 @@ from __future__ import annotations
 import dataclasses
 import os
 import pickle
-from typing import Callable, Dict, Iterator, Optional, Sequence, Tuple
+from typing import Dict, Iterator, Optional, Tuple
 
 import numpy as np
 

@@ -12,8 +12,7 @@ No auto-download (hermetic environment): point ``root_dir`` at an existing
 from __future__ import annotations
 
 import os
-import struct
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
 

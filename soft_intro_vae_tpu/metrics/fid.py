@@ -30,7 +30,6 @@ from __future__ import annotations
 
 import os
 import warnings
-from functools import partial
 from typing import Callable, Iterable, Optional, Tuple
 
 import flax.linen as nn

@@ -19,8 +19,6 @@ Layout: NHWC / HWIO (TPU-native).
 from __future__ import annotations
 
 import math
-from typing import Tuple
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

@@ -18,7 +18,7 @@ All pixel-level tensors are float32; lreq scaling keeps activations O(1).
 from __future__ import annotations
 
 import math
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import flax.linen as nn
 import jax

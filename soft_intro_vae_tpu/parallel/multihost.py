@@ -10,7 +10,7 @@ reference's per-rank TFRecord assignment (dataloader.py:53-67).
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 

@@ -14,7 +14,7 @@ TPU-first: one jitted donated-buffer program per (lod, in_transition);
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp

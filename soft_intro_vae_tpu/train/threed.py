@@ -14,7 +14,7 @@ import dataclasses
 import json
 import os
 import time
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -27,7 +27,7 @@ from soft_intro_vae_tpu.parallel import mesh as pmesh
 from soft_intro_vae_tpu.train import optim
 from soft_intro_vae_tpu.train.state import TrainState
 from soft_intro_vae_tpu.train.step import StepConfig, build_train_steps
-from soft_intro_vae_tpu.utils.checkpoint import Checkpointer, load_checkpoint
+from soft_intro_vae_tpu.utils.checkpoint import Checkpointer
 from soft_intro_vae_tpu.utils.tracker import LossTracker
 
 

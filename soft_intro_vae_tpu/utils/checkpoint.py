@@ -14,7 +14,6 @@ params, optimizer state, BN stats, RNG and step exactly.
 
 from __future__ import annotations
 
-import json
 import os
 import re
 import threading
