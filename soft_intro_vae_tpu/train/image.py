@@ -72,6 +72,7 @@ class ImageConfig:
     # None = TPU default (bf16 MXU passes — fast, VAE-safe); "float32" opts
     # into full-precision matmuls for strict numerical parity runs
     matmul_precision: Optional[str] = None
+    remat: bool = False  # jax.checkpoint each subnet forward (celeb1024 scale)
     synthetic_fallback: bool = True
     verbose: bool = True
 
@@ -83,8 +84,14 @@ def build_image_models(spec: ImageSpec, cfg: ImageConfig):
     return ConvEncoder(**kw), ConvDecoder(**kw)
 
 
-def make_model_fns(enc: ConvEncoder, dec: ConvDecoder):
-    """Functional applies that thread BN batch_stats (torch-train-mode parity)."""
+def make_model_fns(enc: ConvEncoder, dec: ConvDecoder, remat: bool = False):
+    """Functional applies that thread BN batch_stats (torch-train-mode parity).
+
+    ``remat=True`` wraps each subnet forward in jax.checkpoint: the 12-forward
+    introspective step keeps only subnet boundaries live and recomputes
+    activations in backward — the memory lever for celeb1024-scale models
+    (trades ~30% FLOPs for O(depth) less live memory).
+    """
 
     def encode(params, stats, x):
         (mu, lv), upd = enc.apply(
@@ -98,6 +105,9 @@ def make_model_fns(enc: ConvEncoder, dec: ConvDecoder):
         )
         return y, upd["batch_stats"]
 
+    if remat:
+        encode = jax.checkpoint(encode)
+        decode = jax.checkpoint(decode)
     return encode, decode
 
 
@@ -106,7 +116,7 @@ def build_image_training(cfg: ImageConfig, spec: ImageSpec):
     if cfg.matmul_precision:
         jax.config.update("jax_default_matmul_precision", cfg.matmul_precision)
     enc, dec = build_image_models(spec, cfg)
-    encode, decode = make_model_fns(enc, dec)
+    encode, decode = make_model_fns(enc, dec, remat=cfg.remat)
 
     seed = cfg.seed if cfg.seed != -1 else int(time.time()) % (2**31)
     root = jax.random.key(seed)

@@ -100,3 +100,20 @@ class TestToyMetricSemantics:
 
         kl_diff = sample_kl_2d(fake_diff, ds, num_samples=5000, xy_range=(-2, 2))
         assert kl_same < kl_diff
+
+
+class TestRemat:
+    def test_remat_matches_no_remat(self):
+        """jax.checkpoint must not change values, only memory/FLOPs."""
+        from soft_intro_vae_tpu.train.image import build_image_training
+
+        spec = ImageSpec("t", 16, (8, 16), 3)
+        results = []
+        for remat in (False, True):
+            cfg = _tiny_cfg(remat=remat)
+            _, _, state, _, intro, mesh = build_image_training(cfg, spec)
+            x = pmesh.shard_batch(jax.random.uniform(jax.random.key(7), (16, 16, 16, 3)), mesh)
+            _, m = intro(state, x)
+            results.append({k: float(v) for k, v in m.items()})
+        for k in results[0]:
+            assert results[0][k] == pytest.approx(results[1][k], rel=1e-5), k
