@@ -1,0 +1,40 @@
+"""End-to-end CLI tests: drive the real command-line surface in a subprocess."""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(args, cwd, timeout=420):
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    code = (
+        "import jax; jax.config.update('jax_platforms','cpu');"
+        "import sys; sys.argv = ['prog'] + %r;"
+        "from soft_intro_vae_tpu.cli.main import main; main(sys.argv[1:])" % (args,)
+    )
+    return subprocess.run([sys.executable, "-c", code], cwd=cwd, env=env,
+                          capture_output=True, text=True, timeout=timeout)
+
+
+def test_toy_cli_runs(tmp_path):
+    r = _run(["toy", "-d", "8Gaussians", "-n", "60", "-v", "20", "-s", "1"], cwd=str(tmp_path))
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert os.path.exists(tmp_path / "results_toy" / "results_log_soft_intro_vae.txt")
+
+
+def test_image_cli_runs_synthetic(tmp_path):
+    r = _run(["image", "-d", "cifar10", "-n", "1", "-z", "8", "-b", "16", "-e", "16",
+              "-s", "1", "--result_dir", str(tmp_path / "out")], cwd=str(tmp_path))
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert os.path.isdir(tmp_path / "out")
+
+
+def test_cli_rejects_unknown_command(tmp_path):
+    r = _run(["nonsense"], cwd=str(tmp_path), timeout=120)
+    assert r.returncode != 0
