@@ -29,8 +29,10 @@ def test_toy_cli_runs(tmp_path):
 
 
 def test_image_cli_runs_synthetic(tmp_path):
-    r = _run(["image", "-d", "cifar10", "-n", "1", "-z", "8", "-b", "16", "-e", "16",
-              "-s", "1", "--result_dir", str(tmp_path / "out")], cwd=str(tmp_path))
+    # mnist spec (2 conv stages, 28px) keeps the CPU compile fast
+    r = _run(["image", "-d", "mnist", "-n", "1", "-z", "8", "-b", "16", "-e", "16",
+              "-s", "1", "--result_dir", str(tmp_path / "out")],
+             cwd=str(tmp_path), timeout=560)
     assert r.returncode == 0, r.stderr[-2000:]
     assert os.path.isdir(tmp_path / "out")
 
