@@ -183,3 +183,16 @@ def test_scanned_steps_match_sequential():
     for a, b in zip(jax.tree_util.tree_leaves(s_seq.params_e),
                     jax.tree_util.tree_leaves(s_scan.params_e)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7)
+
+
+def test_multistep_lr_schedule():
+    from soft_intro_vae_tpu.train.optim import multistep_lr
+
+    s = multistep_lr(2e-4, (10000, 15000), 0.1)
+    assert s(0) == pytest.approx(2e-4)
+    assert s(9999) == pytest.approx(2e-4)
+    assert s(10000) == pytest.approx(2e-5)
+    assert s(15000) == pytest.approx(2e-6)
+    # image variant: single milestone at 350 epochs
+    s2 = multistep_lr(2e-4, (350,), 0.1)
+    assert s2(349) == pytest.approx(2e-4) and s2(350) == pytest.approx(2e-5)
