@@ -279,4 +279,5 @@ def train_soft_intro_vae(cfg: ImageConfig, dataset: Optional[ArrayDataset] = Non
     ckpt.save(state, cfg.num_epochs - 1, cur_iter)
     ckpt.wait()
     tracker.plot()
+    tracker.save_pickle()  # loss-curve pickle parity (:695-697)
     return state, summary

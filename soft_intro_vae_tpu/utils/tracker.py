@@ -86,6 +86,15 @@ class LossTracker:
         plt.close(fig)
         return path
 
+    def save_pickle(self, filename: str = "train_graphs_data.pickle") -> str:
+        """End-of-run loss-curve pickle (reference train_soft_intro_vae.py:695-697)."""
+        import pickle
+
+        path = os.path.join(self.output_dir, filename)
+        with open(path, "wb") as fp:
+            pickle.dump(self.history, fp)
+        return path
+
     def state_dict(self) -> dict:
         return {"epochs": self.epochs, "history": self.history}
 
