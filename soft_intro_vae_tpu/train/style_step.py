@@ -199,13 +199,17 @@ def build_style_steps(model: StyleModel, cfg: StyleStepConfig, lod: int, blended
 
     def intro_step(state: StyleTrainState, x: Array, blend: Array):
         b = x.shape[0]
-        ks = _keys(state, 10)
+        ks = _keys(state, 16)
         eps_real = jax.random.normal(ks[0], (b, cfg.latent_size), jnp.float32)
         eps_e_rec = jax.random.normal(ks[1], (b, cfg.latent_size), jnp.float32)
         eps_e_fake = jax.random.normal(ks[2], (b, cfg.latent_size), jnp.float32)
         eps_d_rec = jax.random.normal(ks[3], (b, cfg.latent_size), jnp.float32)
         eps_d_fake = jax.random.normal(ks[4], (b, cfg.latent_size), jnp.float32)
+        # the style reference draws FRESH prior noise per phase: each
+        # model.generate() call samples its own z (model.py:173-174), unlike
+        # the image variant's shared noise_batch
         z_noise = jax.random.normal(ks[5], (b, cfg.latent_size), jnp.float32)
+        z_noise_d = jax.random.normal(ks[10], (b, cfg.latent_size), jnp.float32)
 
         # ===== E phase (model.py:215-263) =====
         def lossE_fn(params_e):
@@ -243,16 +247,16 @@ def build_style_steps(model: StyleModel, cfg: StyleStepConfig, lod: int, blended
         # ===== D phase (model.py:265-299) — updated encoder, fresh forwards =====
         def lossD_fn(params_d):
             buffers = auxE["buffers"]
-            fake, buffers = model.generate(params_d, buffers, ks[6], lod, _b(blend),
-                                           z_noise, mixing=True)
-            rec, buffers = model.generate(params_d, buffers, ks[7], lod, _b(blend),
+            fake, buffers = model.generate(params_d, buffers, ks[11], lod, _b(blend),
+                                           z_noise_d, mixing=True)
+            rec, buffers = model.generate(params_d, buffers, ks[12], lod, _b(blend),
                                           sg(auxE["z_real"]), mixing=False)
             loss_rec = reconstruction_loss(x, rec, "mse", "mean")
             z_rec, rmu, rlv = model.encode(params_e, rec, lod, _b(blend), eps_d_rec)
             z_fake, fmu, flv = model.encode(params_e, fake, lod, _b(blend), eps_d_fake)
-            rec_rec, buffers = model.generate(params_d, buffers, ks[8], lod, _b(blend),
+            rec_rec, buffers = model.generate(params_d, buffers, ks[13], lod, _b(blend),
                                               sg(z_rec), mixing=False)
-            rec_fake, buffers = model.generate(params_d, buffers, ks[9], lod, _b(blend),
+            rec_fake, buffers = model.generate(params_d, buffers, ks[14], lod, _b(blend),
                                                sg(z_fake), mixing=False)
             loss_rec_rec = reconstruction_loss(sg(rec), rec_rec, "mse", "mean")
             loss_fake_rec = reconstruction_loss(sg(fake), rec_fake, "mse", "mean")
