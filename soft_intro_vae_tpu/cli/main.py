@@ -40,6 +40,9 @@ def _common_image_flags(p: argparse.ArgumentParser, gamma_r_default: float):
     p.add_argument("--result_dir", type=str, default=None)
     p.add_argument("--num_devices", type=int, default=None, help="data-parallel mesh size")
     p.add_argument("--bf16", action="store_true", help="bfloat16 compute (TPU fast path)")
+    p.add_argument("--no-synthetic-fallback", action="store_true",
+                   help="fail when the dataset files are absent instead of "
+                        "substituting synthetic images")
 
 
 def _run_image(args, bootstrap: bool):
@@ -57,6 +60,9 @@ def _run_image(args, bootstrap: bool):
         copy_to_target_freq=getattr(args, "freq", 1),
         num_devices=args.num_devices,
         compute_dtype="bfloat16" if args.bf16 else "float32",
+        synthetic_fallback=not args.no_synthetic_fallback,
+        # reference celeb branches pass is_mirror=True (train_soft_intro_vae.py:392,404,417)
+        mirror_augment=args.dataset.startswith("celeb"),
     )
     train_soft_intro_vae(cfg)
 

@@ -81,17 +81,127 @@ def write_multires_shards(images_u8: np.ndarray, out_dir: str, name: str,
     return paths
 
 
+def write_multires_shards_streaming(image_paths: List[str], out_dir: str, name: str,
+                                    max_level: int, min_level: int = 2,
+                                    parts: int = 1) -> List[str]:
+    """Streaming variant of write_multires_shards: one image in memory at a
+    time (the reference's dataset_tool.py processes FFHQ image-by-image the
+    same way) — constant host memory for arbitrarily large folders."""
+    from PIL import Image
+
+    from soft_intro_vae_tpu.data.tfrecords import TFRecordWriter
+
+    os.makedirs(out_dir, exist_ok=True)
+    size = 2 ** max_level
+    writers = {
+        (level, part): TFRecordWriter(
+            os.path.join(out_dir, f"{name}-r{level:02d}.tfrecords.{part:03d}"))
+        for level in range(min_level, max_level + 1)
+        for part in range(parts)
+    }
+    try:
+        for i, path in enumerate(image_paths):
+            img = Image.open(path).convert("RGB")
+            if img.size != (size, size):
+                img = img.resize((size, size), Image.LANCZOS)
+            cur = np.asarray(img, np.uint8)
+            part = i % parts
+            for level in range(max_level, min_level - 1, -1):
+                chw = cur.transpose(2, 0, 1)
+                writers[(level, part)].write(make_example({
+                    "shape": list(chw.shape), "data": chw.tobytes()}))
+                if level > min_level:
+                    cur = downscale_u8(cur)
+    finally:
+        for w in writers.values():
+            w.close()
+    return [w.path for w in writers.values()]
+
+
+def split_tfrecords(source_pattern: str, out_pattern: str, part_count: int,
+                    train_size: int, min_level: int = 2, max_level: int = 10,
+                    out_test_pattern: Optional[str] = None,
+                    part_count_test: int = 1) -> int:
+    """Split one-file-per-level TFRecords into per-part shards (capability
+    parity with split_tfrecords_ffhq.py:96-130, without TensorFlow): the
+    first ``train_size`` records of each level go round into ``part_count``
+    train parts of train_size//part_count records; the remainder goes to
+    test parts."""
+    from soft_intro_vae_tpu.data.tfrecords import TFRecordFile, TFRecordWriter
+
+    part_size = train_size // part_count
+    total = 0
+    for level in range(min_level, max_level + 1):
+        src = source_pattern % level
+        if not os.path.exists(src):
+            continue
+        writers = []
+        for part in range(part_count):
+            path = out_pattern % (level, part)
+            os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+            writers.append(TFRecordWriter(path))
+        test_writers = []
+        if out_test_pattern:
+            for part in range(part_count_test):
+                path = out_test_pattern % (level, part)
+                os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+                test_writers.append(TFRecordWriter(path))
+        try:
+            for n, rec in enumerate(TFRecordFile(src).records()):
+                if n < train_size:
+                    writers[min(n // part_size, part_count - 1)].write(rec)
+                elif test_writers:
+                    test_writers[(n - train_size) % len(test_writers)].write(rec)
+                total += 1
+        finally:
+            for w in writers + test_writers:
+                w.close()
+    return total
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="prepare-tfrecords")
-    ap.add_argument("-i", "--input", required=True, help="image folder")
-    ap.add_argument("-o", "--output", required=True, help="output dir")
-    ap.add_argument("--name", default="data")
-    ap.add_argument("--max-level", type=int, default=8)
-    ap.add_argument("--parts", type=int, default=1)
-    ap.add_argument("--limit", type=int, default=None)
+    sub = ap.add_subparsers(dest="command", required=True)
+
+    p_create = sub.add_parser("create", help="image folder -> per-LOD shards")
+    p_create.add_argument("-i", "--input", required=True, help="image folder")
+    p_create.add_argument("-o", "--output", required=True, help="output dir")
+    p_create.add_argument("--name", default="data")
+    p_create.add_argument("--max-level", type=int, default=8)
+    p_create.add_argument("--parts", type=int, default=1)
+    p_create.add_argument("--limit", type=int, default=None)
+    p_create.add_argument("--streaming", action="store_true",
+                          help="constant-memory, one image at a time")
+
+    p_split = sub.add_parser("split", help="one-file-per-level -> per-part shards")
+    p_split.add_argument("--source", required=True, help="pattern with one %%d (level)")
+    p_split.add_argument("--out", required=True, help="pattern with two %% fields (level, part)")
+    p_split.add_argument("--out-test", default=None)
+    p_split.add_argument("--parts", type=int, required=True)
+    p_split.add_argument("--parts-test", type=int, default=1)
+    p_split.add_argument("--train-size", type=int, required=True)
+    p_split.add_argument("--min-level", type=int, default=2)
+    p_split.add_argument("--max-level", type=int, default=10)
+
     args = ap.parse_args(argv)
-    imgs = load_folder(args.input, 2 ** args.max_level, args.limit)
-    paths = write_multires_shards(imgs, args.output, args.name, args.max_level, parts=args.parts)
+    if args.command == "split":
+        n = split_tfrecords(args.source, args.out, args.parts, args.train_size,
+                            args.min_level, args.max_level, args.out_test, args.parts_test)
+        print(f"split {n} records")
+        return
+    # default / "create"
+    if args.streaming:
+        exts = (".jpg", ".jpeg", ".png", ".bmp")
+        files = sorted(os.path.join(args.input, f) for f in os.listdir(args.input)
+                       if f.lower().endswith(exts))
+        if args.limit:
+            files = files[: args.limit]
+        paths = write_multires_shards_streaming(files, args.output, args.name,
+                                                args.max_level, parts=args.parts)
+    else:
+        imgs = load_folder(args.input, 2 ** args.max_level, args.limit)
+        paths = write_multires_shards(imgs, args.output, args.name, args.max_level,
+                                      parts=args.parts)
     print(f"wrote {len(paths)} shards to {args.output}")
 
 

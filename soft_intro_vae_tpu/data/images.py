@@ -49,12 +49,17 @@ DATASETS: Dict[str, ImageSpec] = {
 
 
 class ArrayDataset:
-    """In-memory NHWC dataset with shuffled epoch iteration."""
+    """In-memory NHWC dataset with shuffled epoch iteration.
 
-    def __init__(self, images: np.ndarray, seed: int = 0):
+    ``augment_fn(batch, rng) -> batch`` runs per batch at iteration time —
+    the analog of the reference's per-sample torchvision transform pipeline
+    (dataset.py:129-134), vectorized."""
+
+    def __init__(self, images: np.ndarray, seed: int = 0, augment_fn=None):
         assert images.ndim == 4, "expect (N, H, W, C)"
         self.images = images
         self.rng = np.random.default_rng(seed)
+        self.augment_fn = augment_fn
 
     def __len__(self) -> int:
         return self.images.shape[0]
@@ -64,7 +69,10 @@ class ArrayDataset:
         idx = self.rng.permutation(n) if shuffle else np.arange(n)
         end = n - (n % batch_size) if drop_last else n
         for i in range(0, end, batch_size):
-            yield self.images[idx[i : i + batch_size]]
+            batch = self.images[idx[i : i + batch_size]]
+            if self.augment_fn is not None:
+                batch = self.augment_fn(batch, self.rng)
+            yield batch
 
 
 class SyntheticImages(ArrayDataset):
@@ -155,17 +163,24 @@ def augment_mirror(batch: np.ndarray, rng: np.random.Generator) -> np.ndarray:
     return out
 
 
-def augment_translate(batch: np.ndarray, rng: np.random.Generator, frac: float = 0.1) -> np.ndarray:
-    """Random affine translation (DigitalMonstersDataset's RandomAffine
-    translate=(0.1, 0.1), dataset.py:129-134). Edge-padded shifts."""
+def augment_translate(batch: np.ndarray, rng: np.random.Generator,
+                      max_shift: Optional[int] = None, fill: float = 1.0) -> np.ndarray:
+    """Random affine translation (DigitalMonstersDataset's
+    RandomAffine(0, translate=(5/H, 5/H), fillcolor=(255,255,255)),
+    dataset.py:129-134): +-5px shifts, vacated pixels filled white."""
     n, h, w, _ = batch.shape
-    out = np.empty_like(batch)
-    dys = rng.integers(-int(frac * h), int(frac * h) + 1, n)
-    dxs = rng.integers(-int(frac * w), int(frac * w) + 1, n)
+    if max_shift is None:
+        max_shift = max(1, round(5 / h * h))  # the reference's 5-pixel budget
+    out = np.full_like(batch, fill)
+    dys = rng.integers(-max_shift, max_shift + 1, n)
+    dxs = rng.integers(-max_shift, max_shift + 1, n)
     for i in range(n):
-        img = batch[i]
-        img = np.roll(img, (dys[i], dxs[i]), axis=(0, 1))
-        out[i] = img
+        dy, dx = int(dys[i]), int(dxs[i])
+        ys = slice(max(dy, 0), h + min(dy, 0))
+        xs = slice(max(dx, 0), w + min(dx, 0))
+        ys_src = slice(max(-dy, 0), h + min(-dy, 0))
+        xs_src = slice(max(-dx, 0), w + min(-dx, 0))
+        out[i, ys, xs] = batch[i, ys_src, xs_src]
     return out
 
 
@@ -190,23 +205,67 @@ def augment_hue(batch: np.ndarray, rng: np.random.Generator, max_hue: float = 0.
     return np.clip(rgb, 0.0, 1.0)
 
 
+def load_svhn(root: str, split: str = "train") -> Optional[np.ndarray]:
+    """Read the SVHN ``{split}_32x32.mat`` (the file torchvision's SVHN
+    dataset downloads; reference train_soft_intro_vae.py:424-427)
+    -> (N, 32, 32, 3) float32 in [0, 1]."""
+    path = os.path.join(root, f"{split}_32x32.mat")
+    if not os.path.exists(path):
+        return None
+    from scipy.io import loadmat
+
+    x = loadmat(path)["X"]  # (32, 32, 3, N) uint8
+    return x.transpose(3, 0, 1, 2).astype(np.float32) / 255.0
+
+
+def monsters_augment(batch: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+    """DigitalMonstersDataset's training transform (dataset.py:129-134):
+    RandomAffine 5px white-fill translate + ColorJitter(hue=0.5) +
+    RandomHorizontalFlip. Mirror is folded in here so the trainer needs no
+    special-casing."""
+    batch = augment_translate(batch, rng, max_shift=5, fill=1.0)
+    batch = augment_hue(batch, rng, max_hue=0.5)
+    return augment_mirror(batch, rng)
+
+
 def make_dataset(name: str, data_root: str = "./data", seed: int = 0,
                  synthetic_fallback: bool = True, synthetic_n: int = 2048) -> Tuple[ImageSpec, ArrayDataset]:
     """Resolve a dataset name to (spec, ArrayDataset); falls back to
-    synthetic data when the files aren't on disk (hermetic environments)."""
+    synthetic data when the files aren't on disk (hermetic environments) —
+    LOUDLY, via warnings.warn, and the returned dataset is a
+    ``SyntheticImages`` instance callers can (and should) check for."""
     if name not in DATASETS:
         raise NotImplementedError(f"dataset {name!r} is not supported")
     spec = DATASETS[name]
     arr = None
+    augment_fn = None
     if name == "cifar10":
-        arr = load_cifar10(os.path.join(data_root, "cifar10_ds")) or load_cifar10(data_root)
+        arr = load_cifar10(os.path.join(data_root, "cifar10_ds"))
+        if arr is None:
+            arr = load_cifar10(data_root)
+    elif name == "svhn":
+        arr = load_svhn(os.path.join(data_root, "svhn"))
+        if arr is None:
+            arr = load_svhn(data_root)
     elif name in ("mnist", "fmnist"):
         sub = {"mnist": "mnist_ds", "fmnist": "fmnist_ds"}[name]
-        arr = load_mnist_idx(os.path.join(data_root, sub)) or load_mnist_idx(data_root)
+        arr = load_mnist_idx(os.path.join(data_root, sub))
+        if arr is None:
+            arr = load_mnist_idx(data_root)
     elif name in ("celeb128", "celeb256", "celeb1024", "monsters128"):
         arr = load_image_folder(os.path.join(data_root, name), spec.image_size)
+        if name == "monsters128":
+            # the reference trains monsters with its augmentation pipeline on
+            augment_fn = monsters_augment
     if arr is None:
         if not synthetic_fallback:
             raise FileNotFoundError(f"no local data for {name!r} under {data_root!r}")
+        import warnings
+
+        warnings.warn(
+            f"no local data for {name!r} under {data_root!r} — SUBSTITUTING "
+            f"{synthetic_n} synthetic images. Results are NOT {name} results. "
+            "Pass synthetic_fallback=False (CLI: --no-synthetic-fallback) to "
+            "fail instead.", stacklevel=2)
         return spec, SyntheticImages(synthetic_n, spec.image_size, spec.cdim, seed=seed)
-    return spec, ArrayDataset(arr, seed=seed)
+    return spec, ArrayDataset(arr, seed=seed, augment_fn=augment_fn)

@@ -125,14 +125,39 @@ def make_example(features: Dict[str, object]) -> bytes:
     return _len_delim(1, entries)                    # Example.features
 
 
+class TFRecordWriter:
+    """Incremental TFRecord writer (context manager) — lets dataset
+    preparation stream arbitrarily large folders at constant memory."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self._f = open(path, "wb")
+        self.count = 0
+
+    def write(self, record: bytes):
+        header = struct.pack("<Q", len(record))
+        self._f.write(header)
+        self._f.write(struct.pack("<I", masked_crc(header)))
+        self._f.write(record)
+        self._f.write(struct.pack("<I", masked_crc(record)))
+        self.count += 1
+
+    def close(self):
+        if self._f is not None:
+            self._f.close()
+            self._f = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
 def write_tfrecord(path: str, examples: Sequence[bytes]):
-    with open(path, "wb") as f:
+    with TFRecordWriter(path) as w:
         for ex in examples:
-            header = struct.pack("<Q", len(ex))
-            f.write(header)
-            f.write(struct.pack("<I", masked_crc(header)))
-            f.write(ex)
-            f.write(struct.pack("<I", masked_crc(ex)))
+            w.write(ex)
 
 
 # ------------------------------------------------------------------ reader --

@@ -238,18 +238,25 @@ def params_from_torch_state_dict(state_dict, template) -> dict:
     return {"params": params, "batch_stats": stats}
 
 
+def fid_weights_path(weights_path: Optional[str] = None) -> Optional[str]:
+    """Resolve the pt_inception weights file (reference
+    metrics/inception.py:17's FID_WEIGHTS_URL payload, converted via
+    convert_pt_inception_weights), or None -> random-init FID."""
+    if weights_path and os.path.exists(weights_path):
+        return weights_path
+    for root in (os.getcwd(), os.path.expanduser("~/.cache/soft_intro_vae_tpu")):
+        cand = os.path.join(root, FID_WEIGHTS_FILENAME)
+        if os.path.exists(cand):
+            return cand
+    return None
+
+
 def load_fid_network(weights_path: Optional[str] = None, resize_input: bool = True):
     """Returns (apply_fn, variables). apply_fn(x_nhwc_01) -> (B, 2048)."""
     model = InceptionV3FID(resize_input=resize_input)
     dummy = jnp.zeros((1, 299 if not resize_input else 64, 299 if not resize_input else 64, 3))
     variables = model.init(jax.random.key(0), dummy)
-    path = weights_path
-    if path is None:
-        for root in (os.getcwd(), os.path.expanduser("~/.cache/soft_intro_vae_tpu")):
-            cand = os.path.join(root, FID_WEIGHTS_FILENAME)
-            if os.path.exists(cand):
-                path = cand
-                break
+    path = fid_weights_path(weights_path)
     if path and os.path.exists(path):
         import torch
 

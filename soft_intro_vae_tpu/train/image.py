@@ -196,6 +196,15 @@ def train_soft_intro_vae(cfg: ImageConfig, dataset: Optional[ArrayDataset] = Non
     if dataset is None or spec is None:
         spec, dataset = make_dataset(cfg.dataset, cfg.data_root, seed=max(cfg.seed, 0),
                                      synthetic_fallback=cfg.synthetic_fallback)
+    from soft_intro_vae_tpu.data.images import SyntheticImages
+
+    synthetic_data = isinstance(dataset, SyntheticImages)
+    if synthetic_data:
+        print("!" * 72)
+        print(f"! WARNING: no local {cfg.dataset!r} data found — training on "
+              f"SYNTHETIC images.\n! Metrics below are NOT {cfg.dataset} "
+              "results. Use --no-synthetic-fallback to fail instead.")
+        print("!" * 72)
     enc, dec, state, vanilla_step, intro_step, mesh = build_image_training(cfg, spec)
     if cfg.bootstrap:
         state = sync_target_decoder(state)  # target starts equal to online
@@ -212,21 +221,35 @@ def train_soft_intro_vae(cfg: ImageConfig, dataset: Optional[ArrayDataset] = Non
     aug_rng = np.random.default_rng(max(cfg.seed, 0) + 1)
 
     fid_fn = None
+    fid_name = "fid"
     if cfg.with_fid:
-        from soft_intro_vae_tpu.metrics.fid import make_training_fid  # lazy: heavy
+        from soft_intro_vae_tpu.metrics.fid import fid_weights_path, make_training_fid  # lazy: heavy
         fid_fn = make_training_fid(dec, spec, cfg)
+        if fid_weights_path() is None:
+            # random-init Inception: self-consistent ordering, NOT comparable
+            # to published FID (reference loads pt_inception weights,
+            # metrics/inception.py:17,184-206)
+            fid_name = "fid_selfconsistent"
+            print("!" * 72)
+            print("! WARNING: pt_inception weights not found — FID uses a "
+                  "RANDOM-INIT Inception.\n! The metric is logged as "
+                  "'fid_selfconsistent' and is NOT comparable to published "
+                  "FID.\n! Provide pt_inception-2015-12-05-6726825d.pth (see "
+                  "metrics/fid.py) for real FID.")
+            print("!" * 72)
 
-    summary = dict(best_fid=None, epochs_run=0)
+    summary = dict(best_fid=None, epochs_run=0, fid_metric=fid_name)
     cur_iter = 0
     start = time.time()
     for epoch in range(cfg.start_epoch, cfg.num_epochs):
         if fid_fn is not None and (epoch == 0 or (epoch >= 100 and epoch % 20 == 0) or epoch == cfg.num_epochs - 1):
             fid = fid_fn(state, dataset, num_images=min(cfg.fid_num_images, len(dataset)))
             if cfg.verbose:
-                print(f"epoch {epoch} fid: {fid:.3f}")
+                print(f"epoch {epoch} {fid_name}: {fid:.3f}")
+            tracker.update({fid_name: fid})
             if summary["best_fid"] is None or fid < summary["best_fid"]:
                 summary["best_fid"] = fid
-                ckpt.save(state, epoch, cur_iter, tag=f"_fid_{fid:.3f}")
+                ckpt.save(state, epoch, cur_iter, tag=f"_{fid_name}_{fid:.3f}")
         if epoch % cfg.save_interval == 0 and epoch > 0:
             ckpt.save(state, epoch, cur_iter, async_save=True)
 

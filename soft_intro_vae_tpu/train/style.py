@@ -77,6 +77,7 @@ class StyleConfig:
     lod_2_batch_tables: Optional[Dict[str, List[int]]] = None
     report_freq: Tuple[int, ...] = (100, 80, 60, 30, 20, 10, 10, 5, 5)
     snapshot_freq: Tuple[int, ...] = (300, 300, 300, 100, 50, 30, 20, 20, 10)
+    part_count: int = 1
     # runtime
     seed: int = 0
     num_devices: Optional[int] = None
@@ -87,6 +88,9 @@ class StyleConfig:
     with_fid: bool = False
     save_figures: bool = False
     verbose: bool = True
+    resume: bool = True
+    buffer_size_mb: int = 200
+    rank: int = 0
 
     @classmethod
     def from_yaml(cls, path: str, overrides: Sequence[str] = ()) -> "StyleConfig":
@@ -112,6 +116,7 @@ class StyleConfig:
             output_dir=y.get("OUTPUT_DIR", "results_style"),
             dataset_path=d.get("PATH", ""),
             dataset_size=d.get("SIZE", 70000),
+            part_count=d.get("PART_COUNT", 1),
             max_resolution_level=d.get("MAX_RESOLUTION_LEVEL", 8),
             flip_images=d.get("FLIP_IMAGES", True),
             layer_count=m.get("LAYER_COUNT", 6),
@@ -149,6 +154,7 @@ class MultiResImages:
     def __init__(self, images_u8: np.ndarray, seed: int = 0, flip: bool = True):
         assert images_u8.ndim == 4
         self.base = images_u8.astype(np.float32)
+        self.seed = seed
         self.rng = np.random.default_rng(seed)
         self.flip = flip
         self._cache: Dict[int, np.ndarray] = {}
@@ -185,15 +191,21 @@ class MultiResImages:
             self._cache[res] = cur.astype(np.float32)
         return self._cache[res]
 
-    def epoch(self, res: int, batch_size: int, drop_last: bool = True):
+    def epoch(self, res: int, batch_size: int, drop_last: bool = True,
+              epoch_index: Optional[int] = None):
+        """One shuffled pass. With ``epoch_index`` the shuffle/flip stream is
+        a pure function of (seed, epoch_index) so kill-and-resume replays the
+        exact batches of an uninterrupted run."""
         data = self.at_resolution(res)
+        rng = self.rng if epoch_index is None else np.random.default_rng(
+            np.random.SeedSequence([self.seed, epoch_index]))
         n = data.shape[0]
-        idx = self.rng.permutation(n)
+        idx = rng.permutation(n)
         end = n - (n % batch_size) if drop_last else n
         for i in range(0, end, batch_size):
             batch = data[idx[i : i + batch_size]]
             if self.flip:
-                flip = self.rng.random(batch.shape[0]) < 0.5
+                flip = rng.random(batch.shape[0]) < 0.5
                 batch = batch.copy()
                 batch[flip] = batch[flip][:, :, ::-1, :]
             yield batch
@@ -232,17 +244,32 @@ def build_style_training(cfg: StyleConfig):
     return model, opt, state, mesh
 
 
-def train_style_soft_intro_vae(cfg: StyleConfig, dataset: Optional[MultiResImages] = None):
-    """Run the style recipe; returns (state, summary)."""
+def make_style_dataset(cfg: StyleConfig, mesh_size: int = 1):
+    """Dataset from the config: per-LOD streaming TFRecords when
+    DATASET.PATH is a reference-style ``%``-pattern (dataloader.py:60-67),
+    else synthetic (tests/smokes)."""
     max_res = 2 ** cfg.max_resolution_level
     model_res = 2 ** (cfg.layer_count + 1)
+    if cfg.dataset_path and "%" in cfg.dataset_path:
+        from soft_intro_vae_tpu.data.streaming import StreamingTFRecords
+
+        return StreamingTFRecords(
+            cfg.dataset_path, part_count=cfg.part_count, dataset_size=cfg.dataset_size,
+            max_resolution_level=cfg.max_resolution_level, rank=cfg.rank,
+            world_size=1, buffer_size_mb=cfg.buffer_size_mb,
+            channels=cfg.channels, seed=cfg.seed, flip=cfg.flip_images)
+    if not cfg.use_synthetic:
+        raise ValueError(
+            "DATASET.PATH must be a per-LOD TFRecord %-pattern "
+            "(e.g. 'ffhq-r%02d.tfrecords.%03d'); set use_synthetic=True for smoke runs")
+    return MultiResImages.synthetic(cfg.synthetic_n, min(max_res, model_res),
+                                    cfg.channels, seed=cfg.seed)
+
+
+def train_style_soft_intro_vae(cfg: StyleConfig, dataset: Optional[MultiResImages] = None):
+    """Run the style recipe; returns (state, summary)."""
     if dataset is None:
-        if not cfg.use_synthetic:
-            raise NotImplementedError(
-                "provide a MultiResImages dataset (TFRecord ingestion arrives with the "
-                "native data loader) or set use_synthetic=True")
-        dataset = MultiResImages.synthetic(cfg.synthetic_n, min(max_res, model_res),
-                                           cfg.channels, seed=cfg.seed)
+        dataset = make_style_dataset(cfg)
 
     model, opt, state, mesh = build_style_training(cfg)
     tables = cfg.lod_2_batch_tables or {"1GPU": [128, 128, 128, 32, 16, 8, 4]}
@@ -256,6 +283,32 @@ def train_style_soft_intro_vae(cfg: StyleConfig, dataset: Optional[MultiResImage
     ckpt = Checkpointer(os.path.join(cfg.output_dir, "training_artifacts"), prefix=cfg.name + "_")
     tracker = LossTracker(cfg.output_dir)
 
+    summary = dict(best_fid=None, epochs_run=0, lods_seen=[])
+
+    # Resume (reference train_style_soft_intro_vae.py:233-234 checkpointer.load()
+    # + :268,277 epoch loop starting at scheduler.start_epoch(), LOD state
+    # restored by set_epoch). Mid-epoch snapshots resume from that epoch's start.
+    start_epoch = 0
+    if cfg.resume:
+        loaded = ckpt.load_latest(state)
+        if loaded is not None:
+            restored, saved_epoch, _ = loaded
+            state = pmesh.shard_state(restored, mesh)
+            aux = ckpt.latest_aux() or {}
+            # end-of-epoch anchors resume at the next epoch; mid-epoch
+            # snapshots restart the interrupted epoch
+            start_epoch = saved_epoch + 1 if aux.get("epoch_completed", True) else saved_epoch
+            # fast-forward the LOD driver WITHOUT signalling an optimizer
+            # reset: the checkpoint already holds post-switch opt state
+            lod2batch.set_epoch(max(0, start_epoch - 1))
+            if aux.get("tracker"):
+                tracker.load_state_dict(aux["tracker"])
+            summary["best_fid"] = aux.get("best_fid")
+            summary["lods_seen"] = list(aux.get("lods_seen", []))
+            if cfg.verbose:
+                print(f"resumed from epoch {saved_epoch} (lod {lod2batch.lod}); "
+                      f"starting at epoch {start_epoch}")
+
     step_cache: Dict[Tuple[int, bool, float], Tuple] = {}
 
     def get_steps(lod: int, blended: bool, beta_neg: float):
@@ -268,12 +321,19 @@ def train_style_soft_intro_vae(cfg: StyleConfig, dataset: Optional[MultiResImage
         return step_cache[key]
 
     fid_fn = None
+    fid_name = "fid"
     if cfg.with_fid:
-        fid_fn = _make_style_fid(model, cfg)
+        from soft_intro_vae_tpu.metrics.fid import fid_weights_path
 
-    summary = dict(best_fid=None, epochs_run=0, lods_seen=[])
+        fid_fn = _make_style_fid(model, cfg)
+        if fid_weights_path() is None:
+            fid_name = "fid_selfconsistent"
+            print("! WARNING: pt_inception weights not found — style FID uses a "
+                  "RANDOM-INIT Inception;\n! logged as 'fid_selfconsistent', NOT "
+                  "comparable to published FID.")
+
     start = time.time()
-    for epoch in range(cfg.train_epochs):
+    for epoch in range(start_epoch, cfg.train_epochs):
         switched = lod2batch.set_epoch(epoch)
         if switched:
             # optimizer state reset on LOD switch (lod_driver.py:111-112)
@@ -295,14 +355,15 @@ def train_style_soft_intro_vae(cfg: StyleConfig, dataset: Optional[MultiResImage
                 and epoch % cfg.fid_every == 0:
             fid = fid_fn(state, dataset, lod)
             if cfg.verbose:
-                print(f"epoch {epoch} fid: {fid:.2f}")
+                print(f"epoch {epoch} {fid_name}: {fid:.2f}")
+            tracker.update({fid_name: fid})
             if summary["best_fid"] is None or fid < summary["best_fid"]:
                 summary["best_fid"] = fid
-                ckpt.save(state, epoch, int(state.step), tag=f"_lod{lod}_fid_{fid:.2f}")
+                ckpt.save(state, epoch, int(state.step), tag=f"_lod{lod}_{fid_name}_{fid:.2f}")
 
         vanilla = epoch < cfg.num_vae
         device_metrics = []
-        for batch in dataset.epoch(res, per_dev_total):
+        for batch in dataset.epoch(res, per_dev_total, epoch_index=epoch):
             blend = lod2batch.get_blend_factor()
             blended = lod2batch.in_transition and blend < 1.0 and lod > 0
             vanilla_step, intro_step = get_steps(lod, blended, beta_neg)
@@ -319,7 +380,12 @@ def train_style_soft_intro_vae(cfg: StyleConfig, dataset: Optional[MultiResImage
             device_metrics.append(m)
             lod2batch.step()
             if lod2batch.is_time_to_save():
-                ckpt.save(state, epoch, int(jax.device_get(state.step)), async_save=True)
+                # mid-epoch snapshot: resume restarts THIS epoch (reference
+                # model_tmp_intermediate semantics — scheduler not stepped yet)
+                ckpt.save(state, epoch, int(jax.device_get(state.step)), async_save=True,
+                          aux={"tracker": tracker.state_dict(), "best_fid": summary["best_fid"],
+                               "lods_seen": summary["lods_seen"], "lod": lod,
+                               "epoch_completed": False})
             if cfg.save_figures and lod2batch.is_time_to_report():
                 _save_style_samples(model, cfg, state, lod, epoch, lod2batch.iteration)
 
@@ -334,6 +400,12 @@ def train_style_soft_intro_vae(cfg: StyleConfig, dataset: Optional[MultiResImage
         if any(np.isnan(v) for v in ep_mean.values()):
             raise SystemError("loss is NaN")
         summary["epochs_run"] = epoch + 1
+        # end-of-epoch checkpoint (reference model_tmp_lod%d save,
+        # train_style_soft_intro_vae.py:425) — the resume anchor
+        ckpt.save(state, epoch, int(jax.device_get(state.step)), async_save=True,
+                  aux={"tracker": tracker.state_dict(), "best_fid": summary["best_fid"],
+                       "lods_seen": summary["lods_seen"], "lod": lod,
+                       "epoch_completed": True})
         if cfg.verbose and ep_mean:
             shown = {k: round(v, 4) for k, v in ep_mean.items()
                      if k in ("rec_loss", "real_kl", "fake_kl", "kl_diff")}

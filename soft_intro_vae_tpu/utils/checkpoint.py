@@ -101,12 +101,21 @@ class Checkpointer:
         return os.path.join(self.directory, name)
 
     def save(self, state: Any, epoch: int, iteration: int, tag: str = "", extra: Optional[dict] = None,
-             async_save: bool = False) -> str:
+             async_save: bool = False, aux: Optional[dict] = None) -> str:
+        """``aux`` is JSON-serializable host-side training state (tracker
+        history, best FID, ...) written to a ``.aux.json`` sidecar — the
+        analog of the reference Checkpointer's auxiliary dict
+        (checkpointer.py:23-36 saves scheduler/tracker beside the models)."""
         path = self._path(epoch, iteration, tag)
         host_state = _to_host(state)  # snapshot before returning
 
         def _do():
             save_checkpoint(path, host_state, epoch=epoch, iteration=iteration, extra=extra)
+            if aux is not None:
+                import json
+
+                with open(path + ".aux.json", "w") as f:
+                    json.dump(aux, f)
             with open(os.path.join(self.directory, self.POINTER), "w") as f:
                 f.write(os.path.basename(path))
 
@@ -148,3 +157,12 @@ class Checkpointer:
         if path is None:
             return None
         return load_checkpoint(path, target_state)
+
+    def latest_aux(self) -> Optional[dict]:
+        path = self.latest_path()
+        if path is None or not os.path.exists(path + ".aux.json"):
+            return None
+        import json
+
+        with open(path + ".aux.json") as f:
+            return json.load(f)

@@ -135,6 +135,78 @@ def load_reference_image_checkpoint(path: str, channels: Sequence[int], image_si
     return out
 
 
+def _conv1d_as_dense(sd, key):
+    """Conv1d kernel_size=1 (out, in, 1) -> Dense kernel (in, out)."""
+    return _np(sd[key])[:, :, 0].T
+
+
+def convert_pointnet_encoder(sd: Dict, prefix: str = "encoder.",
+                             use_batchnorm: bool = True) -> Tuple[Dict, Dict]:
+    """Reference 3D Encoder/EncoderNoBatchNorm state_dict
+    (soft_intro_vae_3d/models/vae.py:50-146) -> (params, batch_stats) for
+    PointNetEncoder. Sequential indices: BN variant has convs at
+    0,3,6,9,12 and BNs at 2,5,8,11,14 (conv->ReLU->BN ordering); the no-BN
+    variant has convs at 0,2,4,6,8."""
+    params: Dict = {}
+    stats: Dict = {}
+    n = 5
+    conv_idx = [3 * i for i in range(n)] if use_batchnorm else [2 * i for i in range(n)]
+    for i, ci in enumerate(conv_idx):
+        layer = {"kernel": _conv1d_as_dense(sd, prefix + f"conv.{ci}.weight")}
+        bkey = prefix + f"conv.{ci}.bias"
+        if bkey in sd:
+            layer["bias"] = _np(sd[bkey])
+        params[f"conv_{i}"] = layer
+        if use_batchnorm:
+            p, s = _bn(sd, prefix + f"conv.{3 * i + 2}")
+            params[f"bn_{i}"], stats[f"bn_{i}"] = p, s
+    params["fc"] = _linear(sd, prefix + "fc.0")
+    params["mu_layer"] = _linear(sd, prefix + "mu_layer")
+    params["std_layer"] = _linear(sd, prefix + "std_layer")
+    return params, stats
+
+
+def convert_pointnet_decoder(sd: Dict, prefix: str = "decoder.",
+                             n_points: int = 2048) -> Dict:
+    """Reference 3D Decoder state_dict (vae.py:21-47) -> PointNetDecoder
+    params. The final linear's outputs are (3, N) channel-major in torch
+    (output.view(-1, 3, N)); ours reshape to (N, 3) — permute columns."""
+    params: Dict = {}
+    for i, li in enumerate((0, 2, 4, 6)):
+        layer = {"kernel": _np(sd[prefix + f"model.{li}.weight"]).T}
+        bkey = prefix + f"model.{li}.bias"
+        if bkey in sd:
+            layer["bias"] = _np(sd[bkey])
+        params[f"fc_{i}"] = layer
+    out = {"kernel": _np(sd[prefix + "model.8.weight"]).T}
+    # ours column j = (point n_j, coord c_j) with j = n_j*3 + c_j; the
+    # reference element lives at flat index c_j*N + n_j (channel-major view)
+    j = np.arange(n_points * 3)
+    n_j, c_j = np.divmod(j, 3)
+    ref_index = c_j * n_points + n_j
+    out["kernel"] = out["kernel"][:, ref_index]
+    bkey = prefix + "model.8.bias"
+    if bkey in sd:
+        out["bias"] = _np(sd[bkey])[ref_index]
+    params["out"] = out
+    return params
+
+
+def load_reference_3d_checkpoint(path: str, n_points: int = 2048,
+                                 use_batchnorm: bool = True) -> Dict:
+    """Load a reference 3D bare ``model.state_dict()`` .pth
+    (train_soft_intro_vae_3d.py:444-449) -> {"params_e", "stats_e",
+    "params_d"} for PointNetEncoder/PointNetDecoder."""
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(sd, dict) and "model" in sd and hasattr(sd["model"], "keys"):
+        sd = sd["model"]
+    pe, se = convert_pointnet_encoder(sd, use_batchnorm=use_batchnorm)
+    pd = convert_pointnet_decoder(sd, n_points=n_points)
+    return {"params_e": pe, "stats_e": se, "params_d": pd}
+
+
 def convert_mlp(sd: Dict, n_layers: int, prefix: str) -> Dict:
     """Reference Simple MLP (2D variant) state_dict -> EncoderMLP/DecoderMLP
     params. Reference naming: main.input/main.hidden_i/main.output."""
@@ -143,3 +215,138 @@ def convert_mlp(sd: Dict, n_layers: int, prefix: str) -> Dict:
         params[f"hidden_{i}"] = _linear(sd, prefix + f"main.hidden_{i}")
     params["output"] = _linear(sd, prefix + "main.output")
     return params
+
+
+# ------------------------------------------------------------- style (ALAE) --
+# The reference stores lreq weights in IMPLICIT mode (lreq.py:70-75): the
+# stored tensor IS the effective weight, with the He coefficient consumed by
+# LREQAdam. Our layers use EXPLICIT mode (raw weight scaled by
+# std = gain/sqrt(fan_in) [* lrmul for Linear] at forward time), so converting
+# divides the stored weight by that std and biases by lrmul.
+
+_SQRT2 = float(np.sqrt(2.0))
+
+
+def _lreq_linear(sd, prefix, gain=_SQRT2, lrmul=1.0):
+    w = _np(sd[prefix + ".weight"])  # (out, in)
+    std = gain / np.sqrt(w.shape[1]) * lrmul  # lreq.py:67 (Linear includes lrmul)
+    out = {"kernel": (w / std).T.astype(np.float32)}
+    if prefix + ".bias" in sd:
+        out["bias"] = (_np(sd[prefix + ".bias"]) / lrmul).astype(np.float32)
+    return out
+
+
+def _lreq_conv(sd, prefix, gain=_SQRT2):
+    w = _np(sd[prefix + ".weight"])  # (out, in, kh, kw)
+    fan_in = w.shape[1] * w.shape[2] * w.shape[3]
+    std = gain / np.sqrt(fan_in)  # lreq.py:127 (Conv std has no lrmul)
+    out = {"kernel": (w / std).transpose(2, 3, 1, 0).astype(np.float32)}
+    if prefix + ".bias" in sd:
+        out["bias"] = _np(sd[prefix + ".bias"]).astype(np.float32)
+    return out
+
+
+def _lreq_convT(sd, prefix, gain=_SQRT2):
+    w = _np(sd[prefix + ".weight"])  # (in, out, kh, kw)
+    fan_in = w.shape[0] * w.shape[2] * w.shape[3]
+    std = gain / np.sqrt(fan_in)
+    out = {"kernel": (w / std).transpose(2, 3, 0, 1).astype(np.float32)}
+    if prefix + ".bias" in sd:
+        out["bias"] = _np(sd[prefix + ".bias"]).astype(np.float32)
+    return out
+
+
+def _squeeze_c(sd, key):
+    """(1, C, 1, 1) torch Parameter -> (C,)."""
+    return _np(sd[key]).reshape(-1).astype(np.float32)
+
+
+def convert_style_encoder(sd: Dict, layer_count: int, startf: int, maxf: int,
+                          prefix: str = "") -> Dict:
+    """Reference EncoderDefault state_dict (net.py:234-307) -> StyleEncoder
+    params: from_rgb_{i}.from_rgb convs + block_{i} EncodeBlocks."""
+    params: Dict = {}
+    for i in range(layer_count):
+        params[f"from_rgb_{i}"] = {
+            "from_rgb": _lreq_conv(sd, prefix + f"from_rgb.{i}.from_rgb")}
+        bp = prefix + f"encode_block.{i}"
+        params[f"block_{i}"] = {
+            "conv_1": _lreq_conv(sd, bp + ".conv_1"),
+            "bias_1": _squeeze_c(sd, bp + ".bias_1"),
+            "conv_2": _lreq_conv(sd, bp + ".conv_2"),
+            "bias_2": _squeeze_c(sd, bp + ".bias_2"),
+            "style_1": _lreq_linear(sd, bp + ".style_1"),
+            "style_2": _lreq_linear(sd, bp + ".style_2"),
+        }
+    return params
+
+
+def convert_style_generator(sd: Dict, layer_count: int, startf: int, maxf: int,
+                            prefix: str = "") -> Dict:
+    """Reference GeneratorDefault state_dict (net.py:500-595) -> StyleGenerator
+    params: const + block_{i} DecodeBlocks + to_rgb_{i} heads. conv_1 is a
+    fused ConvTranspose2d when resolution*2 >= 128 (net.py:536-540)."""
+    params: Dict = {"const": _np(sd[prefix + "const"]).transpose(0, 2, 3, 1).astype(np.float32)}
+    resolution = 2
+    for i in range(layer_count):
+        bp = prefix + f"decode_block.{i}"
+        fused = resolution * 2 >= 128
+        block: Dict = {}
+        if i != 0:  # has_first_conv
+            block["conv_1"] = (_lreq_convT(sd, bp + ".conv_1") if fused
+                               else _lreq_conv(sd, bp + ".conv_1"))
+        block["noise_weight_1"] = _squeeze_c(sd, bp + ".noise_weight_1")
+        block["bias_1"] = _squeeze_c(sd, bp + ".bias_1")
+        block["style_1"] = _lreq_linear(sd, bp + ".style_1", gain=1.0)
+        block["conv_2"] = _lreq_conv(sd, bp + ".conv_2")
+        block["noise_weight_2"] = _squeeze_c(sd, bp + ".noise_weight_2")
+        block["bias_2"] = _squeeze_c(sd, bp + ".bias_2")
+        block["style_2"] = _lreq_linear(sd, bp + ".style_2", gain=1.0)
+        params[f"block_{i}"] = block
+        params[f"to_rgb_{i}"] = {"to_rgb": _lreq_conv(sd, prefix + f"to_rgb.{i}.to_rgb",
+                                                      gain=0.03)}
+        resolution *= 2
+    return params
+
+
+def convert_mapping(sd: Dict, mapping_layers: int, prefix: str = "",
+                    bare_linear: bool = False) -> Dict:
+    """Reference VAEMapping{ToLatent,FromLatent} (net.py:684-775: MappingBlock
+    wraps ln.Linear as .fc; the NoStyle variant stores bare ln.Linear) ->
+    Mapping* params (block_{i+1}, lrmul=0.1)."""
+    params: Dict = {}
+    for i in range(mapping_layers):
+        key = prefix + (f"map_blocks.{i}" if bare_linear else f"map_blocks.{i}.fc")
+        params[f"block_{i + 1}"] = _lreq_linear(sd, key, lrmul=0.1)
+    return params
+
+
+def load_reference_style_checkpoint(path: str, layer_count: int, startf: int,
+                                    maxf: int, mapping_layers: int = 5) -> Dict:
+    """Load a reference style checkpoint
+    ({"models": {discriminator, generator, mapping_tl, mapping_fl,
+    dlatent_avg, *_s EMA twins}, ...} — checkpointer.py:45-66 +
+    train_style_soft_intro_vae.py:196-219) into StyleModel trees:
+    {"params_e", "params_d", "buffers"} (+ "ema_e"/"ema_d"/"ema_buffers"
+    when the EMA twins are present)."""
+    import torch
+
+    blob = torch.load(path, map_location="cpu", weights_only=False)
+    models = blob["models"] if isinstance(blob, dict) and "models" in blob else blob
+
+    def trees(enc_key, gen_key, tl_key, fl_key):
+        pe = {"encoder": convert_style_encoder(models[enc_key], layer_count, startf, maxf),
+              "mapping_tl": convert_mapping(models[tl_key], 3)}
+        pd = {"decoder": convert_style_generator(models[gen_key], layer_count, startf, maxf),
+              "mapping_fl": convert_mapping(models[fl_key], mapping_layers)}
+        return pe, pd
+
+    out: Dict = {}
+    out["params_e"], out["params_d"] = trees("discriminator", "generator",
+                                             "mapping_tl", "mapping_fl")
+    out["buffers"] = {"dlatent_avg": _np(models["dlatent_avg"]["buff"]).astype(np.float32)}
+    if "generator_s" in models:
+        out["ema_e"], out["ema_d"] = trees("discriminator_s", "generator_s",
+                                           "mapping_tl_s", "mapping_fl_s")
+        out["ema_buffers"] = {"dlatent_avg": out["buffers"]["dlatent_avg"].copy()}
+    return out

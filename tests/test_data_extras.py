@@ -137,3 +137,141 @@ class TestStyleEncoderVariants:
         styles, fc = enc.apply(v, x, 2, None)
         assert styles.shape == (2, 1, 16)
         assert fc.shape == (2, 1)
+
+
+class TestSVHN:
+    def test_load_svhn_mat(self, tmp_path):
+        from scipy.io import savemat
+
+        from soft_intro_vae_tpu.data.images import load_svhn
+
+        rng = np.random.default_rng(0)
+        x = rng.integers(0, 256, (32, 32, 3, 10), dtype=np.uint8)
+        savemat(tmp_path / "train_32x32.mat", {"X": x, "y": np.ones((10, 1))})
+        arr = load_svhn(str(tmp_path))
+        assert arr.shape == (10, 32, 32, 3)
+        np.testing.assert_allclose(arr[3], x[..., 3] / 255.0)
+
+    def test_make_dataset_svhn_real_files(self, tmp_path):
+        from scipy.io import savemat
+
+        from soft_intro_vae_tpu.data.images import ArrayDataset, SyntheticImages, make_dataset
+
+        rng = np.random.default_rng(1)
+        x = rng.integers(0, 256, (32, 32, 3, 8), dtype=np.uint8)
+        (tmp_path / "svhn").mkdir()
+        savemat(tmp_path / "svhn" / "train_32x32.mat", {"X": x})
+        spec, ds = make_dataset("svhn", str(tmp_path))
+        assert isinstance(ds, ArrayDataset) and not isinstance(ds, SyntheticImages)
+        assert len(ds) == 8 and ds.images.shape[1:] == (32, 32, 3)
+
+
+class TestLoudFallback:
+    def test_missing_data_warns(self, tmp_path):
+        import pytest as _pytest
+
+        from soft_intro_vae_tpu.data.images import SyntheticImages, make_dataset
+
+        with _pytest.warns(UserWarning, match="SUBSTITUTING"):
+            spec, ds = make_dataset("svhn", str(tmp_path / "nope"))
+        assert isinstance(ds, SyntheticImages)
+
+    def test_no_fallback_raises(self, tmp_path):
+        import pytest as _pytest
+
+        from soft_intro_vae_tpu.data.images import make_dataset
+
+        with _pytest.raises(FileNotFoundError):
+            make_dataset("cifar10", str(tmp_path / "nope"), synthetic_fallback=False)
+
+
+class TestMonstersAugments:
+    def test_translate_white_fill(self):
+        from soft_intro_vae_tpu.data.images import augment_translate
+
+        rng = np.random.default_rng(3)
+        x = np.zeros((8, 16, 16, 3), np.float32)  # black images
+        y = augment_translate(x, rng, max_shift=5, fill=1.0)
+        assert y.shape == x.shape
+        # vacated border pixels are white for at least one shifted image
+        assert y.max() == 1.0
+
+    def test_monsters_augment_pipeline(self):
+        from soft_intro_vae_tpu.data.images import monsters_augment
+
+        rng = np.random.default_rng(4)
+        x = rng.random((4, 32, 32, 3)).astype(np.float32)
+        y = monsters_augment(x, rng)
+        assert y.shape == x.shape
+        assert y.min() >= 0 and y.max() <= 1
+        assert not np.allclose(x, y)
+
+    def test_make_dataset_monsters_wires_augment(self, tmp_path):
+        from PIL import Image
+
+        from soft_intro_vae_tpu.data.images import make_dataset, monsters_augment
+
+        d = tmp_path / "monsters128"
+        d.mkdir()
+        rng = np.random.default_rng(5)
+        for i in range(3):
+            img = Image.fromarray(rng.integers(0, 256, (128, 128, 3), dtype=np.uint8))
+            img.save(d / f"{i}.png")
+        spec, ds = make_dataset("monsters128", str(tmp_path))
+        assert ds.augment_fn is monsters_augment
+        batch = next(ds.epoch(2))
+        assert batch.shape == (2, 128, 128, 3)
+
+
+class TestSplitAndStreamingPrep:
+    def test_split_tfrecords(self, tmp_path):
+        from soft_intro_vae_tpu.cli.prepare_tfrecords import split_tfrecords
+        from soft_intro_vae_tpu.data.tfrecords import (
+            TFRecordFile, make_example, write_tfrecord)
+
+        # one source file per level with 10 records each
+        for level in (2, 3):
+            exs = [make_example({"shape": [3, 2, 2], "data": bytes([level * 10 + i] * 12)})
+                   for i in range(10)]
+            write_tfrecord(str(tmp_path / f"src-r{level:02d}.tfrecords"), exs)
+        src = str(tmp_path / "src-r%02d.tfrecords")
+        out = str(tmp_path / "split" / "out-r%02d.tfrecords.%03d")
+        out_test = str(tmp_path / "split" / "test-r%02d.tfrecords.%03d")
+        n = split_tfrecords(src, out, part_count=2, train_size=8,
+                            min_level=2, max_level=3, out_test_pattern=out_test)
+        assert n == 20
+        for level in (2, 3):
+            for part in range(2):
+                recs = list(TFRecordFile(out % (level, part)).records())
+                assert len(recs) == 4  # 8 train records over 2 parts
+            test_recs = list(TFRecordFile(out_test % (level, 0)).records())
+            assert len(test_recs) == 2  # the remainder
+
+    def test_streaming_prep_matches_batch_prep(self, tmp_path):
+        from PIL import Image
+
+        from soft_intro_vae_tpu.cli.prepare_tfrecords import (
+            write_multires_shards, write_multires_shards_streaming)
+        from soft_intro_vae_tpu.data.tfrecords import load_uint8_images
+
+        rng = np.random.default_rng(9)
+        imgs = rng.integers(0, 256, (6, 16, 16, 3), dtype=np.uint8)
+        img_dir = tmp_path / "imgs"
+        img_dir.mkdir()
+        files = []
+        for i, im in enumerate(imgs):
+            p = img_dir / f"{i:03d}.png"
+            Image.fromarray(im).save(p)
+            files.append(str(p))
+
+        write_multires_shards(imgs, str(tmp_path / "batch"), "d", 4, parts=2)
+        write_multires_shards_streaming(files, str(tmp_path / "stream"), "d", 4, parts=2)
+
+        for level in (2, 3, 4):
+            for part in range(2):
+                a = load_uint8_images([str(tmp_path / "batch" / f"d-r{level:02d}.tfrecords.{part:03d}")])
+                b = load_uint8_images([str(tmp_path / "stream" / f"d-r{level:02d}.tfrecords.{part:03d}")])
+                # same multiset of images (batch splits round-robin too)
+                ka = sorted(tuple(x.ravel()) for x in a)
+                kb = sorted(tuple(x.ravel()) for x in b)
+                assert ka == kb, (level, part)

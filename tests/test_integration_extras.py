@@ -11,6 +11,8 @@ from soft_intro_vae_tpu.data.images import ImageSpec
 from soft_intro_vae_tpu.train.image import ImageConfig, build_image_training
 from soft_intro_vae_tpu.parallel import mesh as pmesh
 
+pytestmark = pytest.mark.slow  # compile-heavy: excluded from the fast profile
+
 
 def _tiny_cfg(**kw):
     base = dict(dataset="cifar10", z_dim=8, batch_size=16, seed=0, beta_neg=16.0)

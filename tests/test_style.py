@@ -24,6 +24,8 @@ from soft_intro_vae_tpu.models.style import (
 from soft_intro_vae_tpu.train.lod import LODDriver, pick_batch_table
 from soft_intro_vae_tpu.train.lreq_adam import scale_by_lreq_adam
 
+pytestmark = pytest.mark.slow  # compile-heavy: excluded from the fast profile
+
 
 class TestLreqLayers:
     def test_dense_explicit_scaling_matches_torch_formula(self):

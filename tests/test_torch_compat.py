@@ -155,3 +155,103 @@ class TestMLPParity:
         mu, logvar = enc.apply({"params": params}, jnp.asarray(x))
         y_j = np.concatenate([np.asarray(mu), np.asarray(logvar)], axis=1)
         np.testing.assert_allclose(y_j, y_t.numpy(), rtol=1e-4, atol=1e-5)
+
+
+class Torch3DEncoderTwin(nn.Module):
+    """Exact reference Encoder naming (soft_intro_vae_3d/models/vae.py:97-146)."""
+
+    def __init__(self, z=8, bn=True):
+        super().__init__()
+        chans = [3, 64, 128, 256, 256, 512]
+        layers = []
+        for i in range(5):
+            layers.append(nn.Conv1d(chans[i], chans[i + 1], 1, bias=not bn))
+            layers.append(nn.ReLU(True))
+            if bn:
+                layers.append(nn.BatchNorm1d(chans[i + 1]))
+        self.conv = nn.Sequential(*layers)
+        self.fc = nn.Sequential(nn.Linear(512, 256), nn.ReLU(True))
+        self.mu_layer = nn.Linear(256, z)
+        self.std_layer = nn.Linear(256, z)
+
+    def forward(self, x):  # x: (B, 3, N)
+        h = self.conv(x).max(dim=2)[0]
+        h = self.fc(h)
+        return self.mu_layer(h), self.std_layer(h)
+
+
+class Torch3DDecoderTwin(nn.Module):
+    """Exact reference Decoder naming (vae.py:21-47)."""
+
+    def __init__(self, z=8, n_points=64):
+        super().__init__()
+        self.n_points = n_points
+        self.model = nn.Sequential(
+            nn.Linear(z, 64), nn.ReLU(True),
+            nn.Linear(64, 128), nn.ReLU(True),
+            nn.Linear(128, 512), nn.ReLU(True),
+            nn.Linear(512, 1024), nn.ReLU(True),
+            nn.Linear(1024, n_points * 3),
+        )
+
+    def forward(self, z):
+        return self.model(z).view(-1, 3, self.n_points)
+
+
+class TestPointNetParity:
+    def test_encoder_converter_bn(self):
+        from soft_intro_vae_tpu.models.pointnet import PointNetEncoder
+        from soft_intro_vae_tpu.utils.torch_compat import convert_pointnet_encoder
+
+        torch.manual_seed(10)
+        tm = Torch3DEncoderTwin(z=8, bn=True).eval()
+        # randomize BN stats so the test is meaningful
+        with torch.no_grad():
+            for m in tm.modules():
+                if isinstance(m, nn.BatchNorm1d):
+                    m.running_mean.normal_(0, 0.3)
+                    m.running_var.uniform_(0.5, 1.5)
+                    m.weight.normal_(1, 0.2)
+                    m.bias.normal_(0, 0.2)
+        sd = {("encoder." + k): v for k, v in tm.state_dict().items()}
+        params, stats = convert_pointnet_encoder(sd, use_batchnorm=True)
+
+        x = np.random.RandomState(11).randn(4, 32, 3).astype(np.float32)
+        with torch.no_grad():
+            mu_t, lv_t = tm(torch.tensor(x.transpose(0, 2, 1)))
+        enc = PointNetEncoder(z_dim=8, use_batchnorm=True)
+        mu_j, lv_j = enc.apply({"params": params, "batch_stats": stats},
+                               jnp.asarray(x), train=False)
+        np.testing.assert_allclose(np.asarray(mu_j), mu_t.numpy(), rtol=1e-3, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(lv_j), lv_t.numpy(), rtol=1e-3, atol=1e-4)
+
+    def test_decoder_converter_layout(self):
+        from soft_intro_vae_tpu.models.pointnet import PointNetDecoder
+        from soft_intro_vae_tpu.utils.torch_compat import convert_pointnet_decoder
+
+        torch.manual_seed(12)
+        tm = Torch3DDecoderTwin(z=8, n_points=64).eval()
+        sd = {("decoder." + k): v for k, v in tm.state_dict().items()}
+        params = convert_pointnet_decoder(sd, n_points=64)
+
+        z = np.random.RandomState(13).randn(4, 8).astype(np.float32)
+        with torch.no_grad():
+            y_t = tm(torch.tensor(z))  # (B, 3, N)
+        dec = PointNetDecoder(z_dim=8, n_points=64)
+        y_j = dec.apply({"params": params}, jnp.asarray(z))  # (B, N, 3)
+        np.testing.assert_allclose(
+            np.asarray(y_j), y_t.numpy().transpose(0, 2, 1), rtol=1e-4, atol=1e-5)
+
+    def test_load_reference_3d_checkpoint(self, tmp_path):
+        from soft_intro_vae_tpu.utils.torch_compat import load_reference_3d_checkpoint
+
+        torch.manual_seed(14)
+        full = nn.Module()
+        full.encoder = Torch3DEncoderTwin(z=8, bn=True)
+        full.decoder = Torch3DDecoderTwin(z=8, n_points=64)
+        p = tmp_path / "00042.pth"
+        torch.save(full.state_dict(), p)  # bare state_dict (reference :444)
+        out = load_reference_3d_checkpoint(str(p), n_points=64)
+        assert set(out) == {"params_e", "stats_e", "params_d"}
+        assert "conv_4" in out["params_e"] and "bn_4" in out["params_e"]
+        assert out["params_d"]["out"]["kernel"].shape == (1024, 64 * 3)
