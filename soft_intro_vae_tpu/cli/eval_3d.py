@@ -135,7 +135,18 @@ def main(argv=None):
             p.add_argument("-m", "--model", type=str, required=True, help="checkpoint path")
         if name in ("dump-metrics-data", "render-data"):
             p.add_argument("-o", "--out", type=str, required=True)
+    p_xml = sub.add_parser("render-xml", help="npy/npz/ply -> Mitsuba XML scenes "
+                                              "(render_mitsuba2_pc.py parity)")
+    p_xml.add_argument("-i", "--input", type=str, required=True)
+    p_xml.add_argument("-o", "--out", type=str, default=None)
+    p_xml.add_argument("--points", type=int, default=2048)
+    p_xml.add_argument("--mitsuba", type=str, default=None, help="mitsuba binary (optional)")
     args = ap.parse_args(argv)
+    if args.command == "render-xml":
+        from soft_intro_vae_tpu.utils.mitsuba import render_pointclouds
+
+        print("\n".join(render_pointclouds(args.input, args.out, args.points, args.mitsuba)))
+        return
     cfg = ThreeDConfig.from_json(args.config) if args.config else ThreeDConfig()
     if args.command == "test-jsd":
         print(f"test jsd: {test_jsd(cfg, args.model):.4f}")

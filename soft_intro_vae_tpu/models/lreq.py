@@ -90,6 +90,72 @@ class LreqConv2d(nn.Module):
         return y
 
 
+class LreqSeparableConv2d(nn.Module):
+    """lreq.SeparableConv2d (lreq.py:191-200): depthwise spatial conv
+    (groups=in, gain=1, no bias) followed by a 1x1 pointwise conv.
+
+    Documented deviation: the reference passes ``bias`` into the pointwise
+    conv's *stride* slot and 1 into *padding* (lreq.py:197 — a latent bug in
+    code no config instantiates); here the pointwise conv is the intended
+    stride-1 / padding-0 1x1.
+    """
+
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    padding: int = 0
+    use_bias: bool = True
+    gain: float = math.sqrt(2.0)
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        in_ch = x.shape[-1]
+        # depthwise: grouped fan_in = k*k (in/groups channels each), gain=1
+        std_dw = 1.0 / self.kernel_size
+        w_dw = self.param("depthwise_kernel", _normal_init(1.0),
+                          (self.kernel_size, self.kernel_size, 1, in_ch))
+        y = jax.lax.conv_general_dilated(
+            x, w_dw * std_dw,
+            window_strides=(self.stride, self.stride),
+            padding=[(self.padding, self.padding)] * 2,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=in_ch,
+        )
+        return LreqConv2d(self.features, 1, 1, 0, use_bias=self.use_bias,
+                          gain=self.gain, name="pointwise")(y)
+
+
+class LreqSeparableConvTranspose2d(nn.Module):
+    """lreq.SeparableConvTranspose2d (lreq.py:203-207): depthwise transposed
+    spatial conv + 1x1 pointwise (same bug-fix deviation as above)."""
+
+    features: int
+    kernel_size: int = 3
+    stride: int = 2
+    padding: int = 1
+    use_bias: bool = True
+    gain: float = math.sqrt(2.0)
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        in_ch = x.shape[-1]
+        std_dw = 1.0 / self.kernel_size
+        w_dw = self.param("depthwise_kernel", _normal_init(1.0),
+                          (self.kernel_size, self.kernel_size, 1, in_ch))
+        k = self.kernel_size
+        pad = k - 1 - self.padding
+        y = jax.lax.conv_general_dilated(
+            x, jnp.flip(w_dw * std_dw, (0, 1)),
+            window_strides=(1, 1),
+            padding=[(pad, pad)] * 2,
+            lhs_dilation=(self.stride, self.stride),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=in_ch,
+        )
+        return LreqConv2d(self.features, 1, 1, 0, use_bias=self.use_bias,
+                          gain=self.gain, name="pointwise")(y)
+
+
 class LreqConvTranspose2d(nn.Module):
     """lreq.ConvTranspose2d: stride-2 fused upscale; transform_kernel sums
     the four shifted copies (lreq.py:142-147, no 0.25 factor on transpose)."""

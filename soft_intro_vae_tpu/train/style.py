@@ -61,6 +61,7 @@ class StyleConfig:
     style_mixing_prob: float = 0.9
     mapping_layers: int = 5
     channels: int = 3
+    encoder: str = "EncoderDefault"  # MODEL.ENCODER (defaults.py:60)
     beta_kl: float = 1.0
     beta_rec: float = 1.0
     beta_neg: Tuple[float, ...] = (2048, 2048, 1024, 512, 512, 128, 128, 64, 64)
@@ -129,6 +130,7 @@ class StyleConfig:
             style_mixing_prob=m.get("STYLE_MIXING_PROB", 0.9),
             mapping_layers=m.get("MAPPING_LAYERS", 5),
             channels=m.get("CHANNELS", 3),
+            encoder=m.get("ENCODER", "EncoderDefault"),
             beta_kl=m.get("BETA_KL", 1.0),
             beta_rec=m.get("BETA_REC", 1.0),
             beta_neg=tuple(m.get("BETA_NEG", cls.beta_neg)),
@@ -223,6 +225,7 @@ def build_style_training(cfg: StyleConfig):
         mapping_layers=cfg.mapping_layers, channels=cfg.channels,
         dlatent_avg_beta=cfg.dlatent_avg_beta, style_mixing_prob=cfg.style_mixing_prob,
         truncation_psi=cfg.truncation_psi, truncation_cutoff=cfg.truncation_cutoff,
+        encoder_variant=cfg.encoder,
     )
     model = StyleModel(mc)
     opt = scale_by_lreq_adam(beta2=cfg.adam_beta2)
@@ -412,7 +415,9 @@ def train_style_soft_intro_vae(cfg: StyleConfig, dataset: Optional[MultiResImage
             print(f"epoch {epoch} lod {lod} res {res} bs {global_bs}: {shown} "
                   f"({time.time() - start:.1f}s)")
 
-    ckpt.save(state, cfg.train_epochs - 1, int(jax.device_get(state.step)), tag="_final")
+    ckpt.save(state, cfg.train_epochs - 1, int(jax.device_get(state.step)), tag="_final",
+              aux={"tracker": tracker.state_dict(), "best_fid": summary["best_fid"],
+                   "lods_seen": summary["lods_seen"], "epoch_completed": True})
     ckpt.wait()
     tracker.plot()
     return state, summary

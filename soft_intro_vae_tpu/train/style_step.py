@@ -45,6 +45,9 @@ class StyleModelConfig:
     style_mixing_prob: Optional[float] = 0.9
     truncation_psi: Optional[float] = 0.7
     truncation_cutoff: int = 8
+    # MODEL.ENCODER registry selection (defaults.py:60, net.py ENCODERS):
+    # EncoderDefault | EncoderWithStatistics | EncoderWithFC
+    encoder_variant: str = "EncoderDefault"
 
 
 class StyleModel:
@@ -59,7 +62,11 @@ class StyleModel:
         self.num_layers = 2 * mc.layer_count
         kw = dict(startf=mc.startf, maxf=mc.maxf, layer_count=mc.layer_count,
                   latent_size=mc.latent_size, channels=mc.channels)
-        self.encoder = StyleEncoder(**kw)
+        if mc.encoder_variant not in ("EncoderDefault", "EncoderWithStatistics", "EncoderWithFC"):
+            raise ValueError(f"unknown MODEL.ENCODER {mc.encoder_variant!r}")
+        self.encoder = StyleEncoder(
+            with_fc_head=mc.encoder_variant == "EncoderWithFC",
+            last_block_dense=mc.encoder_variant == "EncoderWithStatistics", **kw)
         self.decoder = StyleGenerator(**kw)
         self.mapping_tl = MappingToLatent(latent_size=mc.latent_size, dlatent_size=mc.latent_size,
                                           mapping_fmaps=mc.latent_size, mapping_layers=3)
@@ -86,8 +93,13 @@ class StyleModel:
 
     # ----------------------------------------------------------- model ops --
     def encode(self, params_e, x, lod: int, blend, eps: Array):
-        """(z, mu, logvar) — model.py:208-213."""
+        """(z, mu, logvar) — model.py:208-213. EncoderWithFC also returns an
+        fc2 logit (net.py:399-404); only the styles feed mapping_tl (the
+        reference's encode would not accept the tuple either — the fc head is
+        an unused-by-configs ALAE leftover)."""
         styles = self.encoder.apply({"params": params_e["encoder"]}, x, lod, blend)
+        if isinstance(styles, tuple):
+            styles = styles[0]
         y = self.mapping_tl.apply({"params": params_e["mapping_tl"]}, styles)
         mu, logvar = y[:, 0, :], y[:, 1, :]
         z = mu + eps * jnp.exp(0.5 * logvar)

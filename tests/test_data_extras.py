@@ -275,3 +275,77 @@ class TestSplitAndStreamingPrep:
                 ka = sorted(tuple(x.ravel()) for x in a)
                 kb = sorted(tuple(x.ravel()) for x in b)
                 assert ka == kb, (level, part)
+
+
+@pytest.mark.slow  # StyleModel init_params compiles per variant
+class TestStyleEncoderVariantPlumbing:
+    def test_encoder_variants_through_model_encode(self):
+        import jax
+        import jax.numpy as jnp
+
+        from soft_intro_vae_tpu.train.style_step import StyleModel, StyleModelConfig
+
+        for variant in ("EncoderDefault", "EncoderWithStatistics", "EncoderWithFC"):
+            mc = StyleModelConfig(startf=8, maxf=16, layer_count=2, latent_size=8,
+                                  mapping_layers=2, encoder_variant=variant)
+            model = StyleModel(mc)
+            pe, pd, buf = model.init_params(jax.random.key(0))
+            x = jnp.zeros((2, 8, 8, 3))
+            eps = jnp.zeros((2, 8))
+            z, mu, logvar = model.encode(pe, x, 1, None, eps)
+            assert z.shape == (2, 8) and mu.shape == (2, 8)
+
+    def test_unknown_variant_raises(self):
+        import pytest as _pytest
+
+        from soft_intro_vae_tpu.train.style_step import StyleModel, StyleModelConfig
+
+        with _pytest.raises(ValueError, match="MODEL.ENCODER"):
+            StyleModel(StyleModelConfig(encoder_variant="EncoderBogus"))
+
+    def test_yaml_encoder_key(self, tmp_path):
+        from soft_intro_vae_tpu.train.style import StyleConfig
+
+        p = tmp_path / "c.yaml"
+        p.write_text("MODEL:\n  ENCODER: EncoderWithStatistics\n")
+        cfg = StyleConfig.from_yaml(str(p))
+        assert cfg.encoder == "EncoderWithStatistics"
+
+
+class TestSeparableConvs:
+    def test_separable_conv_matches_torch(self):
+        import jax
+        import jax.numpy as jnp
+        import torch
+        import torch.nn.functional as TF
+
+        from soft_intro_vae_tpu.models.lreq import LreqSeparableConv2d
+
+        rng = np.random.default_rng(40)
+        x = rng.normal(size=(2, 8, 8, 4)).astype(np.float32)
+        layer = LreqSeparableConv2d(6, kernel_size=3, stride=1, padding=1)
+        params = layer.init(jax.random.key(0), jnp.asarray(x))["params"]
+        y = np.asarray(layer.apply({"params": params}, jnp.asarray(x)))
+
+        # torch oracle: depthwise (gain 1, std 1/k) then 1x1 (std sqrt2/sqrt(in))
+        wd = np.asarray(params["depthwise_kernel"])  # (3,3,1,4)
+        wp = np.asarray(params["pointwise"]["kernel"])  # (1,1,4,6)
+        bp = np.asarray(params["pointwise"]["bias"])
+        tx = torch.tensor(x.transpose(0, 3, 1, 2))
+        twd = torch.tensor(wd.transpose(3, 2, 0, 1)) * (1.0 / 3.0)  # (4,1,3,3)
+        ty = TF.conv2d(tx, twd, None, stride=1, padding=1, groups=4)
+        twp = torch.tensor(wp.transpose(3, 2, 0, 1)) * (np.sqrt(2.0) / np.sqrt(4))
+        ty = TF.conv2d(ty, twp, torch.tensor(bp))
+        np.testing.assert_allclose(y, ty.numpy().transpose(0, 2, 3, 1), rtol=1e-4, atol=1e-5)
+
+    def test_separable_transpose_upscales(self):
+        import jax
+        import jax.numpy as jnp
+
+        from soft_intro_vae_tpu.models.lreq import LreqSeparableConvTranspose2d
+
+        x = jnp.ones((1, 4, 4, 3))
+        layer = LreqSeparableConvTranspose2d(5, kernel_size=3, stride=2, padding=1)
+        params = layer.init(jax.random.key(1), x)["params"]
+        y = layer.apply({"params": params}, x)
+        assert y.shape == (1, 7, 7, 5)  # (in-1)*2 - 2 + 3

@@ -22,14 +22,14 @@ from soft_intro_vae_tpu.train.style import (
 )
 
 
-def _tiny_cfg(out_dir, train_epochs=5, **kw):
+def _tiny_cfg(out_dir, train_epochs=4, **kw):
     base = dict(
-        layer_count=3, start_channel_count=8, max_channel_count=32,
-        latent_space_size=16, mapping_layers=2, epochs_per_lod=2,
-        train_epochs=train_epochs, num_vae=1, beta_neg=(32, 32, 32),
-        scale=1.0 / (3 * 16**2), use_synthetic=True, synthetic_n=64,
-        max_resolution_level=4, output_dir=str(out_dir),
-        lod_2_batch_tables={"1GPU": [16, 16, 16]}, verbose=False, seed=0,
+        layer_count=2, start_channel_count=8, max_channel_count=16,
+        latent_space_size=8, mapping_layers=2, epochs_per_lod=2,
+        train_epochs=train_epochs, num_vae=1, beta_neg=(32, 32),
+        scale=1.0 / (3 * 8**2), use_synthetic=True, synthetic_n=32,
+        max_resolution_level=3, output_dir=str(out_dir),
+        lod_2_batch_tables={"1GPU": [8, 8]}, verbose=False, seed=0,
         snapshot_freq=(10**9,) * 9,  # end-of-epoch anchors only
     )
     base.update(kw)
@@ -125,14 +125,14 @@ def test_multires_epoch_index_deterministic():
 
 @pytest.mark.slow
 def test_kill_and_resume_equals_uninterrupted(tmp_path):
-    """Train 5 epochs straight vs train 3 + resume 2 (through the epoch-4
-    LOD switch): final params, EMA, and opt step count must match."""
-    cfg_a = _tiny_cfg(tmp_path / "a", train_epochs=5)
+    """Train 4 epochs straight vs train 3 + resume 1 (landing mid-LOD, after
+    the epoch-2 switch): final params, EMA, and opt step count must match."""
+    cfg_a = _tiny_cfg(tmp_path / "a", train_epochs=4)
     state_a, summary_a = train_style_soft_intro_vae(cfg_a)
 
     cfg_b1 = _tiny_cfg(tmp_path / "b", train_epochs=3)
     train_style_soft_intro_vae(cfg_b1)
-    cfg_b2 = _tiny_cfg(tmp_path / "b", train_epochs=5)
+    cfg_b2 = _tiny_cfg(tmp_path / "b", train_epochs=4)
     state_b, summary_b = train_style_soft_intro_vae(cfg_b2)
 
     assert summary_a["lods_seen"] == summary_b["lods_seen"]

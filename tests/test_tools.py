@@ -152,3 +152,40 @@ class TestCLI:
 
         a = build_parser().parse_args(["toy", "-d", "8Gaussians", "-n", "30000"])
         assert a.num_vae == 2000  # reference 2D default
+
+
+class TestMitsubaXML:
+    def test_scene_generation(self, tmp_path):
+        from soft_intro_vae_tpu.utils.mitsuba import pointcloud_to_xml, standardize_bbox
+
+        rng = np.random.default_rng(0)
+        pcl = rng.normal(size=(256, 3)).astype(np.float32)
+        std = standardize_bbox(pcl, 128)
+        assert std.shape == (128, 3)
+        assert std.min() >= -0.5 - 1e-6 and std.max() <= 0.5 + 1e-6
+        xml = pointcloud_to_xml(pcl, points_per_object=64)
+        assert xml.count('<shape type="sphere">') == 64
+        assert xml.startswith("<scene") and xml.rstrip().endswith("</scene>")
+        # camera/material parameters match the reference scene
+        assert 'lookat origin="6,6,3"' in xml and 'value="0.05"' in xml
+
+    def test_render_pointclouds_npy(self, tmp_path):
+        from soft_intro_vae_tpu.utils.mitsuba import render_pointclouds
+
+        clouds = np.random.default_rng(1).normal(size=(2, 128, 3)).astype(np.float32)
+        p = tmp_path / "samples.npy"
+        np.save(p, clouds)
+        out = render_pointclouds(str(p), str(tmp_path), points_per_object=64)
+        assert len(out) == 2
+        for f in out:
+            assert os.path.exists(f)
+            assert "<scene" in open(f).read()
+
+    def test_cli_render_xml(self, tmp_path):
+        from soft_intro_vae_tpu.cli.eval_3d import main as eval3d_main
+
+        clouds = np.random.default_rng(2).normal(size=(64, 3)).astype(np.float32)
+        p = tmp_path / "one.npy"
+        np.save(p, clouds)
+        eval3d_main(["render-xml", "-i", str(p), "--points", "32"])
+        assert os.path.exists(tmp_path / "one_00.xml")
