@@ -188,6 +188,22 @@ def bench_torch_cpu(max_seconds: float = 120.0) -> float:
     return BATCH * n / dt
 
 
+def bench_jax_cpu_subprocess(max_seconds: float = 300.0) -> float:
+    """SAME jax code on host CPU (framework-vs-framework, silicon held
+    fixed): re-runs this file with --jax-cpu in a subprocess because the
+    axon sitecustomize pins jax_platforms at interpreter startup."""
+    import subprocess
+
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--jax-cpu"],
+        capture_output=True, text=True, timeout=max_seconds,
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("JAX_CPU_IPS"):
+            return float(line.split()[1])
+    raise RuntimeError(f"jax-cpu subprocess failed: {out.stderr[-400:]}")
+
+
 def get_torch_baseline() -> float:
     if os.path.exists(CACHE):
         try:
@@ -218,4 +234,25 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--jax-cpu" in sys.argv:
+        # same-code CPU baseline (see bench_jax_cpu_subprocess)
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        ips = bench_jax()
+        print("JAX_CPU_IPS", ips)
+    elif "--baselines" in sys.argv:
+        # one-off: measure + cache both host baselines for BENCH_NOTES
+        jax_cpu = bench_jax_cpu_subprocess()
+        torch_cpu = get_torch_baseline()
+        data = {"jax_cpu_images_per_sec": jax_cpu, "torch_cpu_images_per_sec": torch_cpu}
+        try:
+            with open(CACHE) as f:
+                data = {**json.load(f), **data}
+        except Exception:
+            pass
+        with open(CACHE, "w") as f:
+            json.dump(data, f)
+        print(json.dumps(data))
+    else:
+        main()

@@ -27,3 +27,14 @@ def pytest_sessionstart(session):
 @pytest.fixture(scope="session")
 def rng_seed():
     return 92  # the reference's recommended reproducibility seed
+
+
+# Persistent XLA compilation cache: compile-heavy tests are dominated by
+# repeat compiles of identical tiny programs; the cache makes re-runs fast.
+import tempfile as _tempfile
+
+_CACHE_DIR = os.environ.get("SIV_TEST_COMPILE_CACHE",
+                            os.path.join(_tempfile.gettempdir(), "siv_xla_cache"))
+jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

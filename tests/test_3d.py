@@ -63,6 +63,7 @@ class TestData3D:
         )
 
 
+@pytest.mark.slow  # short 3D training run
 class TestTrain3D:
     def test_short_training_runs_and_improves(self):
         from soft_intro_vae_tpu.train.threed import ThreeDConfig, train_soft_intro_vae_3d

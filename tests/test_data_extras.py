@@ -116,6 +116,7 @@ class TestDatasetPrep:
         assert out.shape == (2, 2, 3)
 
 
+@pytest.mark.slow  # style encoder compiles
 class TestStyleEncoderVariants:
     def test_last_block_dense_variant(self):
         from soft_intro_vae_tpu.models.style import StyleEncoder

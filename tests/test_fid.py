@@ -69,6 +69,7 @@ class TestBasicConv:
         np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow  # full 299px Inception compile (deep parity in test_fid_full_parity)
 class TestInceptionTopology:
     def test_output_is_2048(self):
         model = InceptionV3FID(resize_input=True)

@@ -74,6 +74,7 @@ def test_dp_step_matches_single_device():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7)
 
 
+@pytest.mark.slow  # 2x full image-training builds (the driver also runs this)
 def test_dryrun_multichip_8():
     import __graft_entry__ as g
 

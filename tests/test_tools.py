@@ -47,6 +47,7 @@ def style_ckpt(tmp_path_factory):
     return cfg, path
 
 
+@pytest.mark.slow  # style model compiles
 class TestStyleFigures:
     def test_generate_samples(self, style_ckpt, tmp_path):
         from soft_intro_vae_tpu.cli.figures import generate_samples
@@ -98,6 +99,7 @@ def threed_ckpt(tmp_path_factory):
     return cfg, path
 
 
+@pytest.mark.slow  # 3D model compiles
 class TestEval3D:
     def test_test_jsd(self, threed_ckpt):
         from soft_intro_vae_tpu.cli.eval_3d import test_jsd

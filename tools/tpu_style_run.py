@@ -89,7 +89,7 @@ def main():
     from soft_intro_vae_tpu.train.style import build_style_training
     from soft_intro_vae_tpu.train.style_step import StyleStepConfig, build_style_steps
 
-    model, opt, bench_state, mesh = build_style_training(cfg)
+    model, opt, _, mesh = build_style_training(cfg)
     lod = cfg.layer_count - 1
     res = model.layer_to_resolution[lod]
     scfg = StyleStepConfig(latent_size=cfg.latent_space_size, beta_rec=1.0, beta_kl=1.0,
@@ -99,7 +99,8 @@ def main():
     for bs in (16, 32):
         x = jnp.asarray(np.random.default_rng(1).random((bs, res, res, 3), np.float32) * 2 - 1)
         x = pmesh.shard_batch(x, mesh)
-        st = bench_state
+        # fresh state per config: the step donates its input buffers
+        _, _, st, _ = build_style_training(cfg)
         st, m = intro(st, x, jnp.asarray(1.0, jnp.float32))
         _ = float(np.asarray(m["rec_loss"]))  # fence compile+first step
         iters = 30
