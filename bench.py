@@ -44,19 +44,21 @@ def bench_jax() -> float:
     rng = np.random.default_rng(0)
     x = pmesh.shard_batch(jnp.asarray(rng.random((BATCH, IMAGE, IMAGE, 3), np.float32)), mesh)
 
-    for _ in range(WARMUP):
+    warmup = int(os.environ.get("BENCH_WARMUP", WARMUP))
+    iters = int(os.environ.get("BENCH_ITERS", ITERS))
+    for _ in range(warmup):
         state, m = intro_step(state, x)
     # hard sync via a value fetch: on the axon platform block_until_ready
     # returns before execution finishes, so fetching a scalar that depends on
     # the full donated-state chain is the only honest fence
     float(np.asarray(m["loss_e"]))
     t0 = time.perf_counter()
-    for _ in range(ITERS):
+    for _ in range(iters):
         state, m = intro_step(state, x)
     float(np.asarray(m["loss_e"]))
     dt = time.perf_counter() - t0
     n_chips = mesh.devices.size
-    return BATCH * ITERS / dt / n_chips
+    return BATCH * iters / dt / n_chips
 
 
 def bench_torch_cpu(max_seconds: float = 120.0) -> float:
@@ -194,9 +196,10 @@ def bench_jax_cpu_subprocess(max_seconds: float = 300.0) -> float:
     axon sitecustomize pins jax_platforms at interpreter startup."""
     import subprocess
 
+    env = {**os.environ, "BENCH_WARMUP": "2", "BENCH_ITERS": "10"}
     out = subprocess.run(
         [sys.executable, os.path.abspath(__file__), "--jax-cpu"],
-        capture_output=True, text=True, timeout=max_seconds,
+        capture_output=True, text=True, timeout=max_seconds, env=env,
     )
     for line in out.stdout.splitlines():
         if line.startswith("JAX_CPU_IPS"):
