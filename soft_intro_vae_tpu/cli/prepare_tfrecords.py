@@ -129,8 +129,10 @@ def split_tfrecords(source_pattern: str, out_pattern: str, part_count: int,
     test parts."""
     from soft_intro_vae_tpu.data.tfrecords import TFRecordFile, TFRecordWriter
 
+    if train_size < part_count:
+        raise ValueError(f"train_size {train_size} < part_count {part_count}")
     part_size = train_size // part_count
-    total = 0
+    total = 0  # records actually written (dropped tails are not counted)
     for level in range(min_level, max_level + 1):
         src = source_pattern % level
         if not os.path.exists(src):
@@ -150,9 +152,10 @@ def split_tfrecords(source_pattern: str, out_pattern: str, part_count: int,
             for n, rec in enumerate(TFRecordFile(src).records()):
                 if n < train_size:
                     writers[min(n // part_size, part_count - 1)].write(rec)
+                    total += 1
                 elif test_writers:
                     test_writers[(n - train_size) % len(test_writers)].write(rec)
-                total += 1
+                    total += 1
         finally:
             for w in writers + test_writers:
                 w.close()

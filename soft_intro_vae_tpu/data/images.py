@@ -170,7 +170,7 @@ def augment_translate(batch: np.ndarray, rng: np.random.Generator,
     dataset.py:129-134): +-5px shifts, vacated pixels filled white."""
     n, h, w, _ = batch.shape
     if max_shift is None:
-        max_shift = max(1, round(5 / h * h))  # the reference's 5-pixel budget
+        max_shift = 5  # the reference's fixed 5-pixel budget (5/H of H)
     out = np.full_like(batch, fill)
     dys = rng.integers(-max_shift, max_shift + 1, n)
     dxs = rng.integers(-max_shift, max_shift + 1, n)

@@ -156,7 +156,11 @@ class StreamingTFRecords:
             while pending:
                 pad = pending[: batch_size]
                 del pending[: len(pad)]
-                yield np.asarray(pad, np.float32)
+                batch = np.asarray(pad, np.float32)
+                if self.flip:  # same augmentation on the tail as on full batches
+                    flips = rng.random(batch.shape[0]) < 0.5
+                    batch[flips] = batch[flips][:, :, ::-1, :]
+                yield batch
 
 
 def find_part_count(path_pattern: str, level: int, limit: int = 4096) -> int:

@@ -92,6 +92,7 @@ class StyleConfig:
     resume: bool = True
     buffer_size_mb: int = 200
     rank: int = 0
+    world_size: int = 1
 
     @classmethod
     def from_yaml(cls, path: str, overrides: Sequence[str] = ()) -> "StyleConfig":
@@ -247,10 +248,11 @@ def build_style_training(cfg: StyleConfig):
     return model, opt, state, mesh
 
 
-def make_style_dataset(cfg: StyleConfig, mesh_size: int = 1):
+def make_style_dataset(cfg: StyleConfig):
     """Dataset from the config: per-LOD streaming TFRecords when
     DATASET.PATH is a reference-style ``%``-pattern (dataloader.py:60-67),
-    else synthetic (tests/smokes)."""
+    else synthetic (tests/smokes). rank/world_size select this host's shard
+    subset (multi-host pods; single-host jit-DP needs no sharded input)."""
     max_res = 2 ** cfg.max_resolution_level
     model_res = 2 ** (cfg.layer_count + 1)
     if cfg.dataset_path and "%" in cfg.dataset_path:
@@ -259,7 +261,7 @@ def make_style_dataset(cfg: StyleConfig, mesh_size: int = 1):
         return StreamingTFRecords(
             cfg.dataset_path, part_count=cfg.part_count, dataset_size=cfg.dataset_size,
             max_resolution_level=cfg.max_resolution_level, rank=cfg.rank,
-            world_size=1, buffer_size_mb=cfg.buffer_size_mb,
+            world_size=cfg.world_size, buffer_size_mb=cfg.buffer_size_mb,
             channels=cfg.channels, seed=cfg.seed, flip=cfg.flip_images)
     if not cfg.use_synthetic:
         raise ValueError(
@@ -362,7 +364,12 @@ def train_style_soft_intro_vae(cfg: StyleConfig, dataset: Optional[MultiResImage
             tracker.update({fid_name: fid})
             if summary["best_fid"] is None or fid < summary["best_fid"]:
                 summary["best_fid"] = fid
-                ckpt.save(state, epoch, int(state.step), tag=f"_lod{lod}_{fid_name}_{fid:.2f}")
+                # epoch E hasn't trained yet (FID runs at the top of the
+                # epoch): resume must restart E, not skip to E+1
+                ckpt.save(state, epoch, int(state.step), tag=f"_lod{lod}_{fid_name}_{fid:.2f}",
+                          aux={"tracker": tracker.state_dict(), "best_fid": summary["best_fid"],
+                               "lods_seen": summary["lods_seen"], "lod": lod,
+                               "epoch_completed": False})
 
         vanilla = epoch < cfg.num_vae
         device_metrics = []
@@ -415,9 +422,11 @@ def train_style_soft_intro_vae(cfg: StyleConfig, dataset: Optional[MultiResImage
             print(f"epoch {epoch} lod {lod} res {res} bs {global_bs}: {shown} "
                   f"({time.time() - start:.1f}s)")
 
-    ckpt.save(state, cfg.train_epochs - 1, int(jax.device_get(state.step)), tag="_final",
-              aux={"tracker": tracker.state_dict(), "best_fid": summary["best_fid"],
-                   "lods_seen": summary["lods_seen"], "epoch_completed": True})
+    if summary["epochs_run"] > 0 or ckpt.latest_path() is None:
+        # skip the redundant _final rewrite when resume found nothing to do
+        ckpt.save(state, cfg.train_epochs - 1, int(jax.device_get(state.step)), tag="_final",
+                  aux={"tracker": tracker.state_dict(), "best_fid": summary["best_fid"],
+                       "lods_seen": summary["lods_seen"], "epoch_completed": True})
     ckpt.wait()
     tracker.plot()
     return state, summary

@@ -106,21 +106,29 @@ class Checkpointer:
         history, best FID, ...) written to a ``.aux.json`` sidecar — the
         analog of the reference Checkpointer's auxiliary dict
         (checkpointer.py:23-36 saves scheduler/tracker beside the models)."""
+        import copy
+        import json
+
         path = self._path(epoch, iteration, tag)
         host_state = _to_host(state)  # snapshot before returning
+        # snapshot aux too: callers pass live tracker state that later epochs
+        # mutate while an async save is still serializing
+        aux_snapshot = copy.deepcopy(aux) if aux is not None else None
 
         def _do():
             save_checkpoint(path, host_state, epoch=epoch, iteration=iteration, extra=extra)
-            if aux is not None:
-                import json
-
-                with open(path + ".aux.json", "w") as f:
-                    json.dump(aux, f)
+            if aux_snapshot is not None:
+                tmp = path + ".aux.json.tmp"
+                with open(tmp, "w") as f:
+                    json.dump(aux_snapshot, f)
+                os.replace(tmp, path + ".aux.json")
             with open(os.path.join(self.directory, self.POINTER), "w") as f:
                 f.write(os.path.basename(path))
 
+        # never let two saves race on the pointer file: drain any in-flight
+        # async save before starting the next one (sync path included)
+        self.wait()
         if async_save:
-            self.wait()
             self._thread = threading.Thread(target=_do, daemon=True)
             self._thread.start()
         else:

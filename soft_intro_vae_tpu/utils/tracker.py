@@ -49,7 +49,9 @@ class LossTracker:
     def register_means(self, epoch: int):
         self.epochs.append(epoch)
         for k, rm in self.means.items():
-            self.history.setdefault(k, []).append(rm.mean())
+            # sparse metrics (e.g. FID every N epochs) record nan, not a
+            # fabricated 0.0, on epochs where nothing was accumulated
+            self.history.setdefault(k, []).append(rm.mean() if rm._n else float("nan"))
             rm.reset()
         # pad series that appeared late
         for k, series in self.history.items():

@@ -15,11 +15,10 @@ def _run(args, cwd, timeout=420):
     env = dict(os.environ)
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
-    # share the persistent XLA compile cache with the subprocess (conftest
-    # configures the same dir in-process)
-    env.setdefault("JAX_COMPILATION_CACHE_DIR",
-                   os.environ.get("SIV_TEST_COMPILE_CACHE", "/tmp/siv_xla_cache"))
-    env.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.0")
+    # share the (opt-in) persistent XLA compile cache with the subprocess
+    if os.environ.get("SIV_TEST_COMPILE_CACHE"):
+        env.setdefault("JAX_COMPILATION_CACHE_DIR", os.environ["SIV_TEST_COMPILE_CACHE"])
+        env.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.0")
     code = (
         "import jax; jax.config.update('jax_platforms','cpu');"
         "import sys; sys.argv = ['prog'] + %r;"

@@ -54,12 +54,7 @@ def main():
     ap.add_argument("--out", default="/tmp/tpu_style_run")
     args = ap.parse_args()
 
-    import jax
-    import jax.numpy as jnp
-
-    from soft_intro_vae_tpu.parallel import mesh as pmesh
-    from soft_intro_vae_tpu.train.style import (
-        StyleConfig, make_style_dataset, train_style_soft_intro_vae)
+    from soft_intro_vae_tpu.train.style import StyleConfig, train_style_soft_intro_vae
 
     pattern = make_shards(os.path.join(args.out, "shards"), n=args.n)
     print("shards ready:", pattern, flush=True)
@@ -84,33 +79,10 @@ def main():
     train_s = time.time() - t0
     print("TRAIN DONE", summary, f"{train_s:.1f}s", flush=True)
 
-    # ---- max-LOD step throughput (fenced timing) ----
-    from soft_intro_vae_tpu.train.lreq_adam import scale_by_lreq_adam
-    from soft_intro_vae_tpu.train.style import build_style_training
-    from soft_intro_vae_tpu.train.style_step import StyleStepConfig, build_style_steps
+    # ---- max-LOD step throughput (shared fenced-timing helper) ----
+    from tools.tpu_style_bench import bench_max_lod
 
-    model, opt, _, mesh = build_style_training(cfg)
-    lod = cfg.layer_count - 1
-    res = model.layer_to_resolution[lod]
-    scfg = StyleStepConfig(latent_size=cfg.latent_space_size, beta_rec=1.0, beta_kl=1.0,
-                           beta_neg=float(cfg.beta_neg[lod]), gamma_r=1e-8, scale=cfg.scale)
-    _, intro = build_style_steps(model, scfg, lod, False, opt)
-    results = {}
-    for bs in (16, 32):
-        x = jnp.asarray(np.random.default_rng(1).random((bs, res, res, 3), np.float32) * 2 - 1)
-        x = pmesh.shard_batch(x, mesh)
-        # fresh state per config: the step donates its input buffers
-        _, _, st, _ = build_style_training(cfg)
-        st, m = intro(st, x, jnp.asarray(1.0, jnp.float32))
-        _ = float(np.asarray(m["rec_loss"]))  # fence compile+first step
-        iters = 30
-        t0 = time.time()
-        for _ in range(iters):
-            st, m = intro(st, x, jnp.asarray(1.0, jnp.float32))
-        _ = float(np.asarray(m["rec_loss"]))  # fence
-        dt = time.time() - t0
-        results[f"style128_intro_bs{bs}_img_per_s"] = bs * iters / dt
-        print(f"bs={bs}: {bs * iters / dt:.1f} img/s ({dt / iters * 1e3:.1f} ms/step)", flush=True)
+    results = bench_max_lod(cfg)
 
     with open(os.path.join(args.out, "style_bench.json"), "w") as f:
         json.dump({"summary": {k: v for k, v in summary.items()},
