@@ -85,7 +85,7 @@ class StyleConfig:
     use_synthetic: bool = False
     synthetic_n: int = 512
     fid_every: int = 10
-    fid_num_images: int = 2048
+    fid_num_images: int = 50000  # reference protocol (train_style_soft_intro_vae.py:292)
     with_fid: bool = False
     save_figures: bool = False
     verbose: bool = True

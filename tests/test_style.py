@@ -212,7 +212,7 @@ class TestLODDriver:
 
 
 class TestStyleTraining:
-    def test_short_style_run(self):
+    def test_short_style_run(self, tmp_path):
         from soft_intro_vae_tpu.train.style import StyleConfig, train_style_soft_intro_vae
 
         cfg = StyleConfig(
@@ -220,7 +220,7 @@ class TestStyleTraining:
             latent_space_size=16, mapping_layers=2, epochs_per_lod=2,
             train_epochs=3, num_vae=1, beta_neg=(32, 32, 32),
             scale=1.0 / (3 * 16**2), use_synthetic=True, synthetic_n=64,
-            max_resolution_level=4, output_dir="/tmp/test_style_out",
+            max_resolution_level=4, output_dir=str(tmp_path / "style_out"),
             lod_2_batch_tables={"1GPU": [16, 16, 16]}, verbose=False, seed=0,
         )
         state, summary = train_style_soft_intro_vae(cfg)
