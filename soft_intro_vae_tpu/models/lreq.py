@@ -19,6 +19,7 @@ Layout: NHWC / HWIO (TPU-native).
 from __future__ import annotations
 
 import math
+from typing import Any
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
@@ -40,16 +41,17 @@ class LreqDense(nn.Module):
     use_bias: bool = True
     gain: float = math.sqrt(2.0)
     lrmul: float = 1.0
+    dtype: Any = jnp.float32  # compute dtype; params stay float32
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
         in_features = x.shape[-1]
         std = self.gain / math.sqrt(in_features) * self.lrmul
         w = self.param("kernel", _normal_init(1.0 / self.lrmul), (in_features, self.features))
-        y = x @ (w * std)
+        y = x.astype(self.dtype) @ (w * std).astype(self.dtype)
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (self.features,))
-            y = y + b * self.lrmul
+            y = y + (b * self.lrmul).astype(self.dtype)
         return y
 
 
@@ -65,6 +67,7 @@ class LreqConv2d(nn.Module):
     gain: float = math.sqrt(2.0)
     lrmul: float = 1.0
     transform_kernel: bool = False
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -79,14 +82,14 @@ class LreqConv2d(nn.Module):
             w = jnp.pad(w, ((1, 1), (1, 1), (0, 0), (0, 0)))
             w = 0.25 * (w[1:, 1:] + w[:-1, 1:] + w[1:, :-1] + w[:-1, :-1])
         y = jax.lax.conv_general_dilated(
-            x, w * std,
+            x.astype(self.dtype), (w * std).astype(self.dtype),
             window_strides=(self.stride, self.stride),
             padding=[(self.padding, self.padding)] * 2,
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (self.features,))
-            y = y + (b * self.lrmul)[None, None, None, :]
+            y = y + (b * self.lrmul).astype(self.dtype)[None, None, None, :]
         return y
 
 
@@ -168,6 +171,7 @@ class LreqConvTranspose2d(nn.Module):
     gain: float = math.sqrt(2.0)
     lrmul: float = 1.0
     transform_kernel: bool = False
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -188,7 +192,7 @@ class LreqConvTranspose2d(nn.Module):
         # the kernel spatially: out = (in-1)s + 1 + 2(k-1-p) - (k-1)  — equal.
         pad = k - 1 - self.padding
         y = jax.lax.conv_general_dilated(
-            x, jnp.flip(w * std, (0, 1)),
+            x.astype(self.dtype), jnp.flip((w * std).astype(self.dtype), (0, 1)),
             window_strides=(1, 1),
             padding=[(pad, pad)] * 2,
             lhs_dilation=(self.stride, self.stride),
@@ -196,5 +200,5 @@ class LreqConvTranspose2d(nn.Module):
         )
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (self.features,))
-            y = y + (b * self.lrmul)[None, None, None, :]
+            y = y + (b * self.lrmul).astype(self.dtype)[None, None, None, :]
         return y

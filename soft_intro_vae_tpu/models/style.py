@@ -18,7 +18,7 @@ All pixel-level tensors are float32; lreq scaling keeps activations O(1).
 from __future__ import annotations
 
 import math
-from typing import Optional, Tuple
+from typing import Any, Optional, Tuple
 
 import flax.linen as nn
 import jax
@@ -34,8 +34,9 @@ def pixel_norm(x: Array, epsilon: float = 1e-8) -> Array:
 
 
 def style_mod(x: Array, style: Array) -> Array:
-    """AdaIN: style (B, 2C) -> x * (s0 + 1) + s1 (net.py:32-34). NHWC."""
-    s = style.reshape(style.shape[0], 2, x.shape[-1])
+    """AdaIN: style (B, 2C) -> x * (s0 + 1) + s1 (net.py:32-34). NHWC.
+    Style vectors stay float32; they are cast to x's compute dtype here."""
+    s = style.reshape(style.shape[0], 2, x.shape[-1]).astype(x.dtype)
     return x * (s[:, 0][:, None, None, :] + 1.0) + s[:, 1][:, None, None, :]
 
 
@@ -51,8 +52,8 @@ def downscale2d(x: Array, factor: int = 2) -> Array:
 
 def blur3x3(x: Array) -> Array:
     """Depthwise [1,2,1]x[1,2,1]/16 blur (net.py:49-60)."""
-    f = jnp.array([1.0, 2.0, 1.0])
-    k = (f[:, None] * f[None, :]) / 16.0
+    f = jnp.array([1.0, 2.0, 1.0], x.dtype)
+    k = (f[:, None] * f[None, :]) / jnp.asarray(16.0, x.dtype)
     c = x.shape[-1]
     kernel = jnp.tile(k[:, :, None, None], (1, 1, 1, c))  # HWIO, feature_group
     return jax.lax.conv_general_dilated(
@@ -63,15 +64,20 @@ def blur3x3(x: Array) -> Array:
 
 
 def instance_norm(x: Array, eps: float) -> Array:
-    m = jnp.mean(x, axis=(1, 2), keepdims=True)
-    v = jnp.mean(jnp.square(x - m), axis=(1, 2), keepdims=True)
-    return (x - m) * jax.lax.rsqrt(v + eps)
+    # stats in float32 regardless of compute dtype: bf16 variance loses the
+    # cancellation, and eps=1e-8 is below bf16 resolution
+    xf = x.astype(jnp.float32)
+    m = jnp.mean(xf, axis=(1, 2), keepdims=True)
+    v = jnp.mean(jnp.square(xf - m), axis=(1, 2), keepdims=True)
+    return ((xf - m) * jax.lax.rsqrt(v + eps)).astype(x.dtype)
 
 
 def _spatial_stats(x: Array) -> Array:
-    """(mean, std) over spatial dims, concatenated channelwise -> (B, 2C)."""
-    m = jnp.mean(x, axis=(1, 2))
-    std = jnp.sqrt(jnp.mean(jnp.square(x - m[:, None, None, :]), axis=(1, 2)))
+    """(mean, std) over spatial dims, concatenated channelwise -> (B, 2C).
+    Computed (and returned) in float32 — feeds the f32 style heads."""
+    xf = x.astype(jnp.float32)
+    m = jnp.mean(xf, axis=(1, 2))
+    std = jnp.sqrt(jnp.mean(jnp.square(xf - m[:, None, None, :]), axis=(1, 2)))
     return jnp.concatenate([m, std], axis=-1)
 
 
@@ -83,28 +89,33 @@ class EncodeBlock(nn.Module):
     latent_size: int
     last: bool = False
     fused_scale: bool = True
+    dtype: Any = jnp.float32  # conv-path compute dtype; style heads stay f32
 
     @nn.compact
     def __call__(self, x: Array) -> Tuple[Array, Array, Array]:
-        x = LreqConv2d(self.inputs, 3, 1, 1, use_bias=False, name="conv_1")(x)
-        x = x + self.param("bias_1", nn.initializers.zeros, (self.inputs,))
+        x = LreqConv2d(self.inputs, 3, 1, 1, use_bias=False, name="conv_1",
+                       dtype=self.dtype)(x)
+        x = x + self.param("bias_1", nn.initializers.zeros, (self.inputs,)).astype(self.dtype)
         x = nn.leaky_relu(x, 0.2)
-        style_1 = _spatial_stats(x)                      # (B, 2*inputs)
+        style_1 = _spatial_stats(x)                      # (B, 2*inputs) f32
         x = instance_norm(x, 1e-5)                       # torch IN default eps
         if self.last:
             # NB the reference does NOT add bias_2 on the dense path (net.py:103-108)
-            x = LreqDense(self.outputs, name="dense")(x.reshape(x.shape[0], -1))
+            x = LreqDense(self.outputs, name="dense",
+                          dtype=self.dtype)(x.reshape(x.shape[0], -1))
             x = nn.leaky_relu(x, 0.2)
             w1 = LreqDense(self.latent_size, name="style_1")(style_1)
-            w2 = LreqDense(self.latent_size, name="style_2")(x)
+            w2 = LreqDense(self.latent_size, name="style_2")(x.astype(jnp.float32))
             return x, w1, w2
         if self.fused_scale:
             x = LreqConv2d(self.outputs, 3, 2, 1, use_bias=False,
-                           transform_kernel=True, name="conv_2")(blur3x3(x))
+                           transform_kernel=True, name="conv_2",
+                           dtype=self.dtype)(blur3x3(x))
         else:
-            x = LreqConv2d(self.outputs, 3, 1, 1, use_bias=False, name="conv_2")(blur3x3(x))
+            x = LreqConv2d(self.outputs, 3, 1, 1, use_bias=False, name="conv_2",
+                           dtype=self.dtype)(blur3x3(x))
             x = downscale2d(x)
-        x = x + self.param("bias_2", nn.initializers.zeros, (self.outputs,))
+        x = x + self.param("bias_2", nn.initializers.zeros, (self.outputs,)).astype(self.dtype)
         x = nn.leaky_relu(x, 0.2)
         style_2 = _spatial_stats(x)
         x = instance_norm(x, 1e-5)
@@ -122,42 +133,49 @@ class DecodeBlock(nn.Module):
     has_first_conv: bool = True
     fused_scale: bool = True
     layer: int = 0
+    dtype: Any = jnp.float32  # conv-path compute dtype; style heads stay f32
 
     def _inject(self, x: Array, weight: Array, rng: Optional[Array], noise_mode: str) -> Array:
         if noise_mode == "none":
             # deterministic correction term (net.py:176-178)
             s = math.pow(self.layer + 1, 0.5)
-            return x + s * jnp.exp(-x * x / (2.0 * s * s)) / math.sqrt(2 * math.pi) * 0.8
+            xf = x.astype(jnp.float32)
+            out = xf + s * jnp.exp(-xf * xf / (2.0 * s * s)) / math.sqrt(2 * math.pi) * 0.8
+            return out.astype(x.dtype)
         if noise_mode == "batch_constant":
             shape = (1, x.shape[1], x.shape[2], 1)
         else:
             shape = (x.shape[0], x.shape[1], x.shape[2], 1)
         n = jax.random.normal(rng, shape, x.dtype)
-        return x + weight * n
+        return x + weight.astype(x.dtype) * n
 
     @nn.compact
     def __call__(self, x: Array, s1: Array, s2: Array, rng: Optional[Array],
                  noise_mode: str = "batch") -> Array:
+        x = x.astype(self.dtype)
         if self.has_first_conv:
             if self.fused_scale:
                 x = LreqConvTranspose2d(self.outputs, 3, 2, 1, use_bias=False,
-                                        transform_kernel=True, name="conv_1")(x)
+                                        transform_kernel=True, name="conv_1",
+                                        dtype=self.dtype)(x)
             else:
                 x = upscale2d(x)
-                x = LreqConv2d(self.outputs, 3, 1, 1, use_bias=False, name="conv_1")(x)
+                x = LreqConv2d(self.outputs, 3, 1, 1, use_bias=False, name="conv_1",
+                               dtype=self.dtype)(x)
             x = blur3x3(x)
         r1, r2 = (jax.random.split(rng) if rng is not None else (None, None))
         nw1 = self.param("noise_weight_1", nn.initializers.zeros, (self.outputs,))
         x = self._inject(x, nw1, r1, noise_mode)
-        x = x + self.param("bias_1", nn.initializers.zeros, (self.outputs,))
+        x = x + self.param("bias_1", nn.initializers.zeros, (self.outputs,)).astype(self.dtype)
         x = nn.leaky_relu(x, 0.2)
         x = instance_norm(x, 1e-8)
         x = style_mod(x, LreqDense(2 * self.outputs, gain=1.0, name="style_1")(s1))
 
-        x = LreqConv2d(self.outputs, 3, 1, 1, use_bias=False, name="conv_2")(x)
+        x = LreqConv2d(self.outputs, 3, 1, 1, use_bias=False, name="conv_2",
+                       dtype=self.dtype)(x)
         nw2 = self.param("noise_weight_2", nn.initializers.zeros, (self.outputs,))
         x = self._inject(x, nw2, r2, noise_mode)
-        x = x + self.param("bias_2", nn.initializers.zeros, (self.outputs,))
+        x = x + self.param("bias_2", nn.initializers.zeros, (self.outputs,)).astype(self.dtype)
         x = nn.leaky_relu(x, 0.2)
         x = instance_norm(x, 1e-8)
         x = style_mod(x, LreqDense(2 * self.outputs, gain=1.0, name="style_2")(s2))
@@ -166,18 +184,23 @@ class DecodeBlock(nn.Module):
 
 class FromRGB(nn.Module):
     outputs: int
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
-        return nn.leaky_relu(LreqConv2d(self.outputs, 1, 1, 0, name="from_rgb")(x), 0.2)
+        return nn.leaky_relu(LreqConv2d(self.outputs, 1, 1, 0, name="from_rgb",
+                                        dtype=self.dtype)(x), 0.2)
 
 
 class ToRGB(nn.Module):
     channels: int
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
-        return LreqConv2d(self.channels, 1, 1, 0, gain=0.03, name="to_rgb")(x)
+        # output head upcasts to f32: the image feeds f32 losses/blends
+        return LreqConv2d(self.channels, 1, 1, 0, gain=0.03, name="to_rgb",
+                          dtype=self.dtype)(x).astype(jnp.float32)
 
 
 class StyleEncoder(nn.Module):
@@ -194,6 +217,7 @@ class StyleEncoder(nn.Module):
     channels: int = 3
     with_fc_head: bool = False      # EncoderWithFC variant (net.py:322-409)
     last_block_dense: bool = False  # EncoderWithStatistics variant (net.py:412-497)
+    dtype: Any = jnp.float32        # conv-path compute dtype
 
     def setup(self):
         mul = 2
@@ -203,10 +227,11 @@ class StyleEncoder(nn.Module):
         last_dense = self.with_fc_head or self.last_block_dense
         for i in range(self.layer_count):
             outputs = min(self.maxf, self.startf * mul)
-            from_rgb.append(FromRGB(inputs, name=f"from_rgb_{i}"))
+            from_rgb.append(FromRGB(inputs, name=f"from_rgb_{i}", dtype=self.dtype))
             blocks.append(EncodeBlock(inputs, outputs, self.latent_size,
                                       last=last_dense and i == self.layer_count - 1,
-                                      fused_scale=resolution >= 128, name=f"block_{i}"))
+                                      fused_scale=resolution >= 128, name=f"block_{i}",
+                                      dtype=self.dtype))
             resolution //= 2
             inputs = outputs
             mul *= 2
@@ -229,7 +254,7 @@ class StyleEncoder(nn.Module):
             h, s1, s2 = self.encode_block[first](h)
             styles = styles + (s1 + s2) * blend
             h_prev = self.from_rgb[first + 1](downscale2d(x))
-            h = h_prev + (h - h_prev) * blend  # torch.lerp(prev, x, blend)
+            h = h_prev + (h - h_prev) * blend.astype(h.dtype)  # torch.lerp(prev, x, blend)
             for i in range(first + 1, self.layer_count):
                 h, s1, s2 = self.encode_block[i](h)
                 styles = styles + s1 + s2
@@ -257,6 +282,7 @@ class StyleGenerator(nn.Module):
     layer_count: int = 3
     latent_size: int = 128
     channels: int = 3
+    dtype: Any = jnp.float32  # conv-path compute dtype
 
     @property
     def layer_to_resolution(self):
@@ -273,9 +299,9 @@ class StyleGenerator(nn.Module):
             blocks.append(DecodeBlock(inputs, outputs, self.latent_size,
                                       has_first_conv=i != 0,
                                       fused_scale=resolution * 2 >= 128,
-                                      layer=i, name=f"block_{i}"))
+                                      layer=i, name=f"block_{i}", dtype=self.dtype))
             resolution *= 2
-            to_rgb.append(ToRGB(self.channels, name=f"to_rgb_{i}"))
+            to_rgb.append(ToRGB(self.channels, name=f"to_rgb_{i}", dtype=self.dtype))
             inputs = outputs
             mul //= 2
         self.decode_block = blocks

@@ -93,6 +93,7 @@ class StyleConfig:
     buffer_size_mb: int = 200
     rank: int = 0
     world_size: int = 1
+    compute_dtype: str = "float32"  # "bfloat16": conv-path activations
 
     @classmethod
     def from_yaml(cls, path: str, overrides: Sequence[str] = ()) -> "StyleConfig":
@@ -226,7 +227,7 @@ def build_style_training(cfg: StyleConfig):
         mapping_layers=cfg.mapping_layers, channels=cfg.channels,
         dlatent_avg_beta=cfg.dlatent_avg_beta, style_mixing_prob=cfg.style_mixing_prob,
         truncation_psi=cfg.truncation_psi, truncation_cutoff=cfg.truncation_cutoff,
-        encoder_variant=cfg.encoder,
+        encoder_variant=cfg.encoder, compute_dtype=cfg.compute_dtype,
     )
     model = StyleModel(mc)
     opt = scale_by_lreq_adam(beta2=cfg.adam_beta2)

@@ -48,6 +48,9 @@ class StyleModelConfig:
     # MODEL.ENCODER registry selection (defaults.py:60, net.py ENCODERS):
     # EncoderDefault | EncoderWithStatistics | EncoderWithFC
     encoder_variant: str = "EncoderDefault"
+    # conv-path activation dtype ("bfloat16" halves the HBM traffic the
+    # 128px+ step is bound by; IN stats/style heads/losses stay float32)
+    compute_dtype: str = "float32"
 
 
 class StyleModel:
@@ -60,8 +63,9 @@ class StyleModel:
     def __init__(self, mc: StyleModelConfig):
         self.mc = mc
         self.num_layers = 2 * mc.layer_count
+        dtype = jnp.bfloat16 if mc.compute_dtype == "bfloat16" else jnp.float32
         kw = dict(startf=mc.startf, maxf=mc.maxf, layer_count=mc.layer_count,
-                  latent_size=mc.latent_size, channels=mc.channels)
+                  latent_size=mc.latent_size, channels=mc.channels, dtype=dtype)
         if mc.encoder_variant not in ("EncoderDefault", "EncoderWithStatistics", "EncoderWithFC"):
             raise ValueError(f"unknown MODEL.ENCODER {mc.encoder_variant!r}")
         self.encoder = StyleEncoder(
