@@ -36,29 +36,41 @@ def bench_jax() -> float:
     from soft_intro_vae_tpu.parallel import mesh as pmesh
     from soft_intro_vae_tpu.train.image import ImageConfig, build_image_training
 
+    # exploration knobs (BENCH_NOTES rows); driver default = reference-exact
+    # f32 single-step recipe
+    batch = int(os.environ.get("BENCH_BATCH", BATCH))
+    scan_steps = int(os.environ.get("BENCH_SCAN_STEPS", 1))
+    dtype = os.environ.get("BENCH_DTYPE", "float32")
+
     spec = ImageSpec("cifar10", IMAGE, CH, 3)
-    cfg = ImageConfig(dataset="cifar10", z_dim=ZDIM, batch_size=BATCH,
-                      beta_kl=1.0, beta_rec=1.0, beta_neg=256.0, seed=0)
+    cfg = ImageConfig(dataset="cifar10", z_dim=ZDIM, batch_size=batch,
+                      beta_kl=1.0, beta_rec=1.0, beta_neg=256.0, seed=0,
+                      compute_dtype=dtype, scan_steps=scan_steps)
     _, _, state, _, intro_step, mesh = build_image_training(cfg, spec)
 
     rng = np.random.default_rng(0)
-    x = pmesh.shard_batch(jnp.asarray(rng.random((BATCH, IMAGE, IMAGE, 3), np.float32)), mesh)
+    if scan_steps > 1:
+        x = pmesh.shard_scan_batch(
+            jnp.asarray(rng.random((scan_steps, batch, IMAGE, IMAGE, 3), np.float32)), mesh)
+    else:
+        x = pmesh.shard_batch(jnp.asarray(rng.random((batch, IMAGE, IMAGE, 3), np.float32)), mesh)
 
     warmup = int(os.environ.get("BENCH_WARMUP", WARMUP))
     iters = int(os.environ.get("BENCH_ITERS", ITERS))
-    for _ in range(warmup):
+    launches = max(1, iters // scan_steps)
+    for _ in range(max(1, warmup // scan_steps)):
         state, m = intro_step(state, x)
     # hard sync via a value fetch: on the axon platform block_until_ready
     # returns before execution finishes, so fetching a scalar that depends on
     # the full donated-state chain is the only honest fence
-    float(np.asarray(m["loss_e"]))
+    float(np.asarray(m["loss_e"]).ravel()[-1])
     t0 = time.perf_counter()
-    for _ in range(iters):
+    for _ in range(launches):
         state, m = intro_step(state, x)
-    float(np.asarray(m["loss_e"]))
+    float(np.asarray(m["loss_e"]).ravel()[-1])
     dt = time.perf_counter() - t0
     n_chips = mesh.devices.size
-    return BATCH * iters / dt / n_chips
+    return batch * scan_steps * launches / dt / n_chips
 
 
 def bench_torch_cpu(max_seconds: float = 120.0) -> float:

@@ -117,16 +117,26 @@ def style_mixing_figure(cfg: StyleConfig, ckpt_path: str, out: str, n_src: int =
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="style-figures")
     sub = ap.add_subparsers(dest="command", required=True)
-    for name in ("samples", "interpolation", "stylemix"):
+    for name in ("samples", "recon", "interpolation", "stylemix"):
         p = sub.add_parser(name)
         p.add_argument("--yaml", type=str, default=None)
         p.add_argument("-m", "--model", type=str, required=True)
         p.add_argument("-o", "--out", type=str, required=True)
         p.add_argument("--seed", type=int, default=0)
+        if name == "recon":
+            # real side: DATASET.PATH %-pattern from the yaml, or synthetic
+            p.add_argument("--count", type=int, default=8)
     args = ap.parse_args(argv)
     cfg = StyleConfig.from_yaml(args.yaml) if args.yaml else StyleConfig()
     if args.command == "samples":
         print(generate_samples(cfg, args.model, args.out, seed=args.seed))
+    elif args.command == "recon":
+        from soft_intro_vae_tpu.train.style import make_style_dataset
+
+        if not (cfg.dataset_path and "%" in cfg.dataset_path):
+            cfg.use_synthetic = True
+        print(reconstruction_figure(cfg, args.model, make_style_dataset(cfg),
+                                    args.out, count=args.count))
     elif args.command == "interpolation":
         print(interpolation_figure(cfg, args.model, args.out, seed=args.seed))
     elif args.command == "stylemix":

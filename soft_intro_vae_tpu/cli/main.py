@@ -1,10 +1,12 @@
 """Unified CLI preserving the reference flag surfaces.
 
-One binary, four subcommands mirroring the reference entry points:
+One binary, five subcommands mirroring the reference entry points:
   * ``image``     — /root/reference/soft_intro_vae/main.py flags
   * ``bootstrap`` — /root/reference/soft_intro_vae_bootstrap/main.py (+ -o/--freq)
   * ``toy``       — /root/reference/soft_intro_vae_2d/main.py
   * ``threed``    — /root/reference/soft_intro_vae_3d (-c JSON config path)
+  * ``style``     — /root/reference/style_soft_intro_vae/train_style_soft_intro_vae.py
+                    (-c YAML config + trailing KEY VALUE overrides)
 
 The reference's ``-c/--device`` (CUDA index) is accepted for compatibility
 but maps to "how many chips" here: -1 or 0 -> all local devices (the TPU
@@ -40,6 +42,9 @@ def _common_image_flags(p: argparse.ArgumentParser, gamma_r_default: float):
     p.add_argument("--result_dir", type=str, default=None)
     p.add_argument("--num_devices", type=int, default=None, help="data-parallel mesh size")
     p.add_argument("--bf16", action="store_true", help="bfloat16 compute (TPU fast path)")
+    p.add_argument("--scan-steps", type=int, default=1,
+                   help="fuse K train steps per device launch (lax.scan); "
+                        "amortizes dispatch overhead for small batches")
     p.add_argument("--no-synthetic-fallback", action="store_true",
                    help="fail when the dataset files are absent instead of "
                         "substituting synthetic images")
@@ -60,6 +65,7 @@ def _run_image(args, bootstrap: bool):
         copy_to_target_freq=getattr(args, "freq", 1),
         num_devices=args.num_devices,
         compute_dtype="bfloat16" if args.bf16 else "float32",
+        scan_steps=args.scan_steps,
         synthetic_fallback=not args.no_synthetic_fallback,
         # reference celeb branches pass is_mirror=True (train_soft_intro_vae.py:392,404,417)
         mirror_augment=args.dataset.startswith("celeb"),
@@ -79,6 +85,13 @@ def _run_toy(args):
         save_interval=5000, test_iter=5000,
     )
     train_soft_intro_vae_toy(cfg)
+
+
+def _run_style(args):
+    from soft_intro_vae_tpu.train.style import StyleConfig, train_style_soft_intro_vae
+
+    cfg = StyleConfig.from_yaml(args.config_file, overrides=args.opts)
+    train_style_soft_intro_vae(cfg)
 
 
 def _run_threed(args):
@@ -122,6 +135,18 @@ def build_parser() -> argparse.ArgumentParser:
     p_3d = sub.add_parser("threed", help="3D point-cloud variant")
     p_3d.add_argument("-c", "--config", type=str, default=None, help="JSON config path")
 
+    # style variant launcher mirrors the reference's
+    # train_style_soft_intro_vae.py / launcher.py surface: -c <yaml> plus
+    # trailing KEY VALUE pairs merged into the config
+    # (style_soft_intro_vae/train_style_soft_intro_vae.py:103-123,
+    #  launcher.py:49 merge_from_list)
+    p_style = sub.add_parser("style", help="progressive style variant (YAML config)")
+    p_style.add_argument("-c", "--config-file", type=str, default="configs/ffhq256.yaml",
+                         metavar="FILE", help="path to YAML config file")
+    p_style.add_argument("opts", nargs=argparse.REMAINDER, default=[],
+                         help="config overrides as KEY VALUE pairs "
+                              "(e.g. TRAIN.TRAIN_EPOCHS 5 DATASET.PATH shards/r%%02d.tfrecords)")
+
     return root
 
 
@@ -133,6 +158,8 @@ def main(argv=None):
         _run_image(args, bootstrap=True)
     elif args.command == "toy":
         _run_toy(args)
+    elif args.command == "style":
+        _run_style(args)
     elif args.command == "threed":
         _run_threed(args)
     else:

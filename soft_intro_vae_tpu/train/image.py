@@ -73,6 +73,10 @@ class ImageConfig:
     # into full-precision matmuls for strict numerical parity runs
     matmul_precision: Optional[str] = None
     remat: bool = False  # jax.checkpoint each subnet forward (celeb1024 scale)
+    # fuse K reference-exact steps into one XLA program via lax.scan: amortizes
+    # the per-launch dispatch floor (the bf16 bs=32 step is launch-bound on
+    # v5e — see BENCH_NOTES.md). 1 = one launch per step (reference cadence).
+    scan_steps: int = 1
     synthetic_fallback: bool = True
     verbose: bool = True
 
@@ -159,6 +163,7 @@ def build_image_training(cfg: ImageConfig, spec: ImageSpec):
     vanilla_step, intro_step = build_train_steps(
         encode=encode, decode=decode, optimizer=opt, cfg=step_cfg,
         decode_target=decode if cfg.bootstrap else None,
+        scan_steps=cfg.scan_steps,
     )
 
     mesh = pmesh.make_data_mesh(cfg.num_devices)
@@ -261,22 +266,45 @@ def train_soft_intro_vae(cfg: ImageConfig, dataset: Optional[ArrayDataset] = Non
                     batch = augment_mirror(batch, aug_rng)
                 yield batch
 
+        def host_chunks():
+            """Stack scan_steps batches into one (K, B, ...) H2D transfer; a
+            short trailing chunk re-specializes the same jitted scan fn."""
+            buf = []
+            for batch in host_batches():
+                buf.append(batch)
+                if len(buf) == cfg.scan_steps:
+                    yield np.stack(buf)
+                    buf = []
+            if buf:
+                yield np.stack(buf)
+
         device_metrics = []
         from soft_intro_vae_tpu.data.prefetch import device_prefetch
 
-        raw_iter = device_prefetch(
-            host_batches(), size=2,
-            put_fn=lambda b: pmesh.shard_batch(jnp.asarray(b), mesh))
+        if cfg.scan_steps > 1:
+            raw_iter = device_prefetch(
+                host_chunks(), size=2,
+                put_fn=lambda b: pmesh.shard_scan_batch(jnp.asarray(b), mesh))
+        else:
+            raw_iter = device_prefetch(
+                host_batches(), size=2,
+                put_fn=lambda b: pmesh.shard_batch(jnp.asarray(b), mesh))
         for x in raw_iter:
+            k = int(x.shape[0]) if cfg.scan_steps > 1 else 1
             state, m = step_fn(state, x)
             device_metrics.append(m)
-            if cfg.save_figures and cur_iter % cfg.test_iter == 0:
-                _save_sample_grid(enc, dec, state, np.asarray(x), cfg, cur_iter)
-            cur_iter += 1
+            if cfg.save_figures and (cur_iter == 0
+                                     or cur_iter // cfg.test_iter != (cur_iter + k) // cfg.test_iter):
+                grid_x = np.asarray(x)[0] if cfg.scan_steps > 1 else np.asarray(x)
+                _save_sample_grid(enc, dec, state, grid_x, cfg, cur_iter)
+            cur_iter += k
 
         # one host sync per epoch
         host = jax.device_get(device_metrics)
-        ep_mean = {k: float(np.mean([h[k] for h in host])) for k in host[0]} if host else {}
+        # with scan_steps > 1 each entry holds (k,)-stacked per-step values;
+        # concatenate so every step weighs equally in the epoch mean
+        ep_mean = ({k: float(np.mean(np.concatenate([np.atleast_1d(h[k]) for h in host])))
+                    for k in host[0]} if host else {})
         tracker.update(ep_mean)
         tracker.register_means(epoch)
         if any(np.isnan(v) for v in ep_mean.values()):

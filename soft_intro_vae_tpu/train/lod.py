@@ -46,7 +46,9 @@ class LODDriver:
         if self.epochs_per_lod == 0:
             return 1.0
         blend = float((self.current_epoch % self.epochs_per_lod) * self.dataset_size + self.iteration)
-        blend /= float(self.epochs_per_lod // 2 * self.dataset_size)
+        # max(1, …): EPOCHS_PER_LOD=1 has no first-half transition window and
+        # the reference's unguarded `// 2` (lod_driver.py:66) divides by zero
+        blend /= float(max(1, self.epochs_per_lod // 2) * self.dataset_size)
         blend = math.sin(blend * math.pi - 0.5 * math.pi) * 0.5 + 0.5
         return blend if self.in_transition else 1.0
 

@@ -146,6 +146,13 @@ class StyleConfig:
             num_vae=t.get("NUM_VAE", 1),
             learning_rates=tuple(t.get("LEARNING_RATES", (0.002,))),
             lod_2_batch_tables=tables or None,
+            # extensions beyond the reference schema (smoke runs / TPU knobs),
+            # reachable from the CLI's KEY VALUE overrides
+            use_synthetic=d.get("SYNTHETIC", False),
+            synthetic_n=d.get("SYNTHETIC_N", 512),
+            with_fid=t.get("WITH_FID", False),
+            compute_dtype=t.get("COMPUTE_DTYPE", "float32"),
+            seed=y.get("SEED", 0),
         )
 
 
@@ -256,6 +263,9 @@ def make_style_dataset(cfg: StyleConfig):
     subset (multi-host pods; single-host jit-DP needs no sharded input)."""
     max_res = 2 ** cfg.max_resolution_level
     model_res = 2 ** (cfg.layer_count + 1)
+    if cfg.use_synthetic:
+        return MultiResImages.synthetic(cfg.synthetic_n, min(max_res, model_res),
+                                        cfg.channels, seed=cfg.seed)
     if cfg.dataset_path and "%" in cfg.dataset_path:
         from soft_intro_vae_tpu.data.streaming import StreamingTFRecords
 
@@ -264,12 +274,10 @@ def make_style_dataset(cfg: StyleConfig):
             max_resolution_level=cfg.max_resolution_level, rank=cfg.rank,
             world_size=cfg.world_size, buffer_size_mb=cfg.buffer_size_mb,
             channels=cfg.channels, seed=cfg.seed, flip=cfg.flip_images)
-    if not cfg.use_synthetic:
-        raise ValueError(
-            "DATASET.PATH must be a per-LOD TFRecord %-pattern "
-            "(e.g. 'ffhq-r%02d.tfrecords.%03d'); set use_synthetic=True for smoke runs")
-    return MultiResImages.synthetic(cfg.synthetic_n, min(max_res, model_res),
-                                    cfg.channels, seed=cfg.seed)
+    raise ValueError(
+        "DATASET.PATH must be a per-LOD TFRecord %-pattern "
+        "(e.g. 'ffhq-r%02d.tfrecords.%03d'); set use_synthetic=True "
+        "(CLI: DATASET.SYNTHETIC true) for smoke runs")
 
 
 def train_style_soft_intro_vae(cfg: StyleConfig, dataset: Optional[MultiResImages] = None):

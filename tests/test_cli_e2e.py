@@ -48,3 +48,25 @@ def test_image_cli_runs_synthetic(tmp_path, monkeypatch):
 def test_cli_rejects_unknown_command(tmp_path):
     r = _run(["nonsense"], cwd=str(tmp_path), timeout=120)
     assert r.returncode != 0
+
+
+def test_style_cli_dispatches_with_overrides(tmp_path, monkeypatch):
+    # parse-level: the style subcommand loads the YAML, applies trailing
+    # KEY VALUE overrides (reference launcher.py:49 merge semantics) and
+    # calls the trainer with the merged config — no compile involved
+    import soft_intro_vae_tpu.train.style as style_mod
+    from soft_intro_vae_tpu.cli.main import main
+
+    captured = {}
+    monkeypatch.setattr(style_mod, "train_style_soft_intro_vae",
+                        lambda cfg, dataset=None: captured.setdefault("cfg", cfg))
+    cfg_path = os.path.join(REPO, "configs", "ffhq256.yaml")
+    main(["style", "-c", cfg_path,
+          "TRAIN.TRAIN_EPOCHS", "3", "MODEL.LATENT_SPACE_SIZE", "64",
+          "OUTPUT_DIR", str(tmp_path / "style_out")])
+    cfg = captured["cfg"]
+    assert cfg.train_epochs == 3
+    assert cfg.latent_space_size == 64
+    assert cfg.output_dir == str(tmp_path / "style_out")
+    # untouched keys keep their YAML values (ffhq256: layer_count 7)
+    assert cfg.layer_count == 7

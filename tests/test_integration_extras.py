@@ -119,3 +119,31 @@ class TestRemat:
             results.append({k: float(v) for k, v in m.items()})
         for k in results[0]:
             assert results[0][k] == pytest.approx(results[1][k], rel=1e-5), k
+
+
+class TestTrainerScanSteps:
+    def test_trainer_scan_matches_sequential(self, tmp_path):
+        """A full trainer epoch with scan_steps=3 (chunks 3+3+2 — the trailing
+        chunk re-specializes the scan) equals the scan_steps=1 run."""
+        from soft_intro_vae_tpu.data.images import ArrayDataset
+        from soft_intro_vae_tpu.train.image import train_soft_intro_vae
+
+        spec = ImageSpec("t", 16, (8, 16), 3)
+        imgs = np.random.default_rng(5).random((128, 16, 16, 3)).astype(np.float32)
+
+        def run(scan_steps):
+            cfg = _tiny_cfg(num_epochs=1, num_vae=0, scan_steps=scan_steps,
+                            result_dir=str(tmp_path / f"scan{scan_steps}"),
+                            verbose=False)
+            state, summary = train_soft_intro_vae(
+                cfg, dataset=ArrayDataset(imgs.copy(), seed=3), spec=spec)
+            return state, summary
+
+        s1, _ = run(1)
+        s3, _ = run(3)
+        for a, b in zip(jax.tree_util.tree_leaves(s1.params_e),
+                        jax.tree_util.tree_leaves(s3.params_e)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
+        for a, b in zip(jax.tree_util.tree_leaves(s1.params_d),
+                        jax.tree_util.tree_leaves(s3.params_d)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
