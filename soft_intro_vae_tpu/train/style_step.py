@@ -51,6 +51,11 @@ class StyleModelConfig:
     # conv-path activation dtype ("bfloat16" halves the HBM traffic the
     # 128px+ step is bound by; IN stats/style heads/losses stay float32)
     compute_dtype: str = "float32"
+    # jax.checkpoint the encoder/decoder forwards: the 12-forward
+    # introspective step keeps only subnet boundaries live and recomputes
+    # activations in backward — the memory lever for 512px+/large-batch
+    # runs (256px bs=64 bf16 otherwise needs 23 GiB vs the 15.75 GiB v5e HBM)
+    remat: bool = False
 
 
 class StyleModel:
@@ -101,10 +106,16 @@ class StyleModel:
         fc2 logit (net.py:399-404); only the styles feed mapping_tl (the
         reference's encode would not accept the tuple either — the fc head is
         an unused-by-configs ALAE leftover)."""
-        styles = self.encoder.apply({"params": params_e["encoder"]}, x, lod, blend)
-        if isinstance(styles, tuple):
-            styles = styles[0]
-        y = self.mapping_tl.apply({"params": params_e["mapping_tl"]}, styles)
+
+        def fwd(params_e, x, blend):
+            styles = self.encoder.apply({"params": params_e["encoder"]}, x, lod, blend)
+            if isinstance(styles, tuple):
+                styles = styles[0]
+            return self.mapping_tl.apply({"params": params_e["mapping_tl"]}, styles)
+
+        if self.mc.remat:
+            fwd = jax.checkpoint(fwd)
+        y = fwd(params_e, x, blend)
         mu, logvar = y[:, 0, :], y[:, 1, :]
         z = mu + eps * jnp.exp(0.5 * logvar)
         return z, mu, logvar
@@ -143,8 +154,13 @@ class StyleModel:
             avg = new_buffers["dlatent_avg"][None]
             styles = avg + (styles - avg) * coefs
 
-        rec = self.decoder.apply({"params": params_d["decoder"]}, styles, lod, k_noise,
-                                 blend, noise_mode)
+        def dec_fwd(dec_params, styles, k_noise, blend):
+            return self.decoder.apply({"params": dec_params}, styles, lod, k_noise,
+                                      blend, noise_mode)
+
+        if self.mc.remat:
+            dec_fwd = jax.checkpoint(dec_fwd)
+        rec = dec_fwd(params_d["decoder"], styles, k_noise, blend)
         return rec, new_buffers
 
 
