@@ -70,95 +70,106 @@ class BasicConv2d(nn.Module):
     kernel: Tuple[int, int]
     stride: int = 1
     padding: Tuple[int, int] = (0, 0)
+    # True only during the no-weights BN-stat calibration pass (see
+    # load_fid_network): normalize by BATCH stats and update the running ones
+    calibrate: bool = False
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
         x = nn.Conv(self.out_ch, self.kernel, strides=(self.stride, self.stride),
                     padding=(self.padding[0], self.padding[1]), use_bias=False, name="conv")(x)
-        x = nn.BatchNorm(use_running_average=True, epsilon=1e-3, momentum=0.9, name="bn")(x)
+        x = nn.BatchNorm(use_running_average=not self.calibrate, epsilon=1e-3,
+                         momentum=0.9, name="bn")(x)
         return nn.relu(x)
 
 
 class InceptionA(nn.Module):
     pool_features: int
+    calibrate: bool = False
 
     @nn.compact
     def __call__(self, x):
-        b1 = BasicConv2d(64, (1, 1), name="branch1x1")(x)
-        b5 = BasicConv2d(48, (1, 1), name="branch5x5_1")(x)
-        b5 = BasicConv2d(64, (5, 5), padding=(2, 2), name="branch5x5_2")(b5)
-        b3 = BasicConv2d(64, (1, 1), name="branch3x3dbl_1")(x)
-        b3 = BasicConv2d(96, (3, 3), padding=(1, 1), name="branch3x3dbl_2")(b3)
-        b3 = BasicConv2d(96, (3, 3), padding=(1, 1), name="branch3x3dbl_3")(b3)
+        b1 = BasicConv2d(64, (1, 1), name="branch1x1", calibrate=self.calibrate)(x)
+        b5 = BasicConv2d(48, (1, 1), name="branch5x5_1", calibrate=self.calibrate)(x)
+        b5 = BasicConv2d(64, (5, 5), padding=(2, 2), name="branch5x5_2", calibrate=self.calibrate)(b5)
+        b3 = BasicConv2d(64, (1, 1), name="branch3x3dbl_1", calibrate=self.calibrate)(x)
+        b3 = BasicConv2d(96, (3, 3), padding=(1, 1), name="branch3x3dbl_2", calibrate=self.calibrate)(b3)
+        b3 = BasicConv2d(96, (3, 3), padding=(1, 1), name="branch3x3dbl_3", calibrate=self.calibrate)(b3)
         bp = avg_pool_no_pad(x)
-        bp = BasicConv2d(self.pool_features, (1, 1), name="branch_pool")(bp)
+        bp = BasicConv2d(self.pool_features, (1, 1), name="branch_pool", calibrate=self.calibrate)(bp)
         return jnp.concatenate([b1, b5, b3, bp], axis=-1)
 
 
 class InceptionB(nn.Module):
+    calibrate: bool = False
+
     @nn.compact
     def __call__(self, x):
-        b3 = BasicConv2d(384, (3, 3), stride=2, name="branch3x3")(x)
-        bd = BasicConv2d(64, (1, 1), name="branch3x3dbl_1")(x)
-        bd = BasicConv2d(96, (3, 3), padding=(1, 1), name="branch3x3dbl_2")(bd)
-        bd = BasicConv2d(96, (3, 3), stride=2, name="branch3x3dbl_3")(bd)
+        b3 = BasicConv2d(384, (3, 3), stride=2, name="branch3x3", calibrate=self.calibrate)(x)
+        bd = BasicConv2d(64, (1, 1), name="branch3x3dbl_1", calibrate=self.calibrate)(x)
+        bd = BasicConv2d(96, (3, 3), padding=(1, 1), name="branch3x3dbl_2", calibrate=self.calibrate)(bd)
+        bd = BasicConv2d(96, (3, 3), stride=2, name="branch3x3dbl_3", calibrate=self.calibrate)(bd)
         bp = max_pool(x, 3, 2)
         return jnp.concatenate([b3, bd, bp], axis=-1)
 
 
 class InceptionC(nn.Module):
     channels_7x7: int
+    calibrate: bool = False
 
     @nn.compact
     def __call__(self, x):
         c7 = self.channels_7x7
-        b1 = BasicConv2d(192, (1, 1), name="branch1x1")(x)
-        b7 = BasicConv2d(c7, (1, 1), name="branch7x7_1")(x)
-        b7 = BasicConv2d(c7, (1, 7), padding=(0, 3), name="branch7x7_2")(b7)
-        b7 = BasicConv2d(192, (7, 1), padding=(3, 0), name="branch7x7_3")(b7)
-        bd = BasicConv2d(c7, (1, 1), name="branch7x7dbl_1")(x)
-        bd = BasicConv2d(c7, (7, 1), padding=(3, 0), name="branch7x7dbl_2")(bd)
-        bd = BasicConv2d(c7, (1, 7), padding=(0, 3), name="branch7x7dbl_3")(bd)
-        bd = BasicConv2d(c7, (7, 1), padding=(3, 0), name="branch7x7dbl_4")(bd)
-        bd = BasicConv2d(192, (1, 7), padding=(0, 3), name="branch7x7dbl_5")(bd)
+        b1 = BasicConv2d(192, (1, 1), name="branch1x1", calibrate=self.calibrate)(x)
+        b7 = BasicConv2d(c7, (1, 1), name="branch7x7_1", calibrate=self.calibrate)(x)
+        b7 = BasicConv2d(c7, (1, 7), padding=(0, 3), name="branch7x7_2", calibrate=self.calibrate)(b7)
+        b7 = BasicConv2d(192, (7, 1), padding=(3, 0), name="branch7x7_3", calibrate=self.calibrate)(b7)
+        bd = BasicConv2d(c7, (1, 1), name="branch7x7dbl_1", calibrate=self.calibrate)(x)
+        bd = BasicConv2d(c7, (7, 1), padding=(3, 0), name="branch7x7dbl_2", calibrate=self.calibrate)(bd)
+        bd = BasicConv2d(c7, (1, 7), padding=(0, 3), name="branch7x7dbl_3", calibrate=self.calibrate)(bd)
+        bd = BasicConv2d(c7, (7, 1), padding=(3, 0), name="branch7x7dbl_4", calibrate=self.calibrate)(bd)
+        bd = BasicConv2d(192, (1, 7), padding=(0, 3), name="branch7x7dbl_5", calibrate=self.calibrate)(bd)
         bp = avg_pool_no_pad(x)
-        bp = BasicConv2d(192, (1, 1), name="branch_pool")(bp)
+        bp = BasicConv2d(192, (1, 1), name="branch_pool", calibrate=self.calibrate)(bp)
         return jnp.concatenate([b1, b7, bd, bp], axis=-1)
 
 
 class InceptionD(nn.Module):
+    calibrate: bool = False
+
     @nn.compact
     def __call__(self, x):
-        b3 = BasicConv2d(192, (1, 1), name="branch3x3_1")(x)
-        b3 = BasicConv2d(320, (3, 3), stride=2, name="branch3x3_2")(b3)
-        b7 = BasicConv2d(192, (1, 1), name="branch7x7x3_1")(x)
-        b7 = BasicConv2d(192, (1, 7), padding=(0, 3), name="branch7x7x3_2")(b7)
-        b7 = BasicConv2d(192, (7, 1), padding=(3, 0), name="branch7x7x3_3")(b7)
-        b7 = BasicConv2d(192, (3, 3), stride=2, name="branch7x7x3_4")(b7)
+        b3 = BasicConv2d(192, (1, 1), name="branch3x3_1", calibrate=self.calibrate)(x)
+        b3 = BasicConv2d(320, (3, 3), stride=2, name="branch3x3_2", calibrate=self.calibrate)(b3)
+        b7 = BasicConv2d(192, (1, 1), name="branch7x7x3_1", calibrate=self.calibrate)(x)
+        b7 = BasicConv2d(192, (1, 7), padding=(0, 3), name="branch7x7x3_2", calibrate=self.calibrate)(b7)
+        b7 = BasicConv2d(192, (7, 1), padding=(3, 0), name="branch7x7x3_3", calibrate=self.calibrate)(b7)
+        b7 = BasicConv2d(192, (3, 3), stride=2, name="branch7x7x3_4", calibrate=self.calibrate)(b7)
         bp = max_pool(x, 3, 2)
         return jnp.concatenate([b3, b7, bp], axis=-1)
 
 
 class InceptionE(nn.Module):
     pool_kind: str = "avg"  # "avg" (Mixed_7b / E_1) or "max" (Mixed_7c / E_2)
+    calibrate: bool = False
 
     @nn.compact
     def __call__(self, x):
-        b1 = BasicConv2d(320, (1, 1), name="branch1x1")(x)
-        b3 = BasicConv2d(384, (1, 1), name="branch3x3_1")(x)
-        b3a = BasicConv2d(384, (1, 3), padding=(0, 1), name="branch3x3_2a")(b3)
-        b3b = BasicConv2d(384, (3, 1), padding=(1, 0), name="branch3x3_2b")(b3)
+        b1 = BasicConv2d(320, (1, 1), name="branch1x1", calibrate=self.calibrate)(x)
+        b3 = BasicConv2d(384, (1, 1), name="branch3x3_1", calibrate=self.calibrate)(x)
+        b3a = BasicConv2d(384, (1, 3), padding=(0, 1), name="branch3x3_2a", calibrate=self.calibrate)(b3)
+        b3b = BasicConv2d(384, (3, 1), padding=(1, 0), name="branch3x3_2b", calibrate=self.calibrate)(b3)
         b3 = jnp.concatenate([b3a, b3b], axis=-1)
-        bd = BasicConv2d(448, (1, 1), name="branch3x3dbl_1")(x)
-        bd = BasicConv2d(384, (3, 3), padding=(1, 1), name="branch3x3dbl_2")(bd)
-        bda = BasicConv2d(384, (1, 3), padding=(0, 1), name="branch3x3dbl_3a")(bd)
-        bdb = BasicConv2d(384, (3, 1), padding=(1, 0), name="branch3x3dbl_3b")(bd)
+        bd = BasicConv2d(448, (1, 1), name="branch3x3dbl_1", calibrate=self.calibrate)(x)
+        bd = BasicConv2d(384, (3, 3), padding=(1, 1), name="branch3x3dbl_2", calibrate=self.calibrate)(bd)
+        bda = BasicConv2d(384, (1, 3), padding=(0, 1), name="branch3x3dbl_3a", calibrate=self.calibrate)(bd)
+        bdb = BasicConv2d(384, (3, 1), padding=(1, 0), name="branch3x3dbl_3b", calibrate=self.calibrate)(bd)
         bd = jnp.concatenate([bda, bdb], axis=-1)
         if self.pool_kind == "max":
             bp = max_pool(x, 3, 1, same=True)  # FIDInceptionE_2 patch (:322-327)
         else:
             bp = avg_pool_no_pad(x)
-        bp = BasicConv2d(192, (1, 1), name="branch_pool")(bp)
+        bp = BasicConv2d(192, (1, 1), name="branch_pool", calibrate=self.calibrate)(bp)
         return jnp.concatenate([b1, b3, bd, bp], axis=-1)
 
 
@@ -166,30 +177,31 @@ class InceptionV3FID(nn.Module):
     """pt_inception FID network: NHWC in [0,1] -> 2048-dim pool3 features."""
 
     resize_input: bool = True
+    calibrate: bool = False
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
         if self.resize_input:
             x = jax.image.resize(x, (x.shape[0], 299, 299, x.shape[3]), "bilinear")
         x = 2.0 * x - 1.0  # (0,1) -> (-1,1)  (inception.py:151-154)
-        x = BasicConv2d(32, (3, 3), stride=2, name="Conv2d_1a_3x3")(x)
-        x = BasicConv2d(32, (3, 3), name="Conv2d_2a_3x3")(x)
-        x = BasicConv2d(64, (3, 3), padding=(1, 1), name="Conv2d_2b_3x3")(x)
+        x = BasicConv2d(32, (3, 3), stride=2, name="Conv2d_1a_3x3", calibrate=self.calibrate)(x)
+        x = BasicConv2d(32, (3, 3), name="Conv2d_2a_3x3", calibrate=self.calibrate)(x)
+        x = BasicConv2d(64, (3, 3), padding=(1, 1), name="Conv2d_2b_3x3", calibrate=self.calibrate)(x)
         x = max_pool(x, 3, 2)
-        x = BasicConv2d(80, (1, 1), name="Conv2d_3b_1x1")(x)
-        x = BasicConv2d(192, (3, 3), name="Conv2d_4a_3x3")(x)
+        x = BasicConv2d(80, (1, 1), name="Conv2d_3b_1x1", calibrate=self.calibrate)(x)
+        x = BasicConv2d(192, (3, 3), name="Conv2d_4a_3x3", calibrate=self.calibrate)(x)
         x = max_pool(x, 3, 2)
-        x = InceptionA(32, name="Mixed_5b")(x)
-        x = InceptionA(64, name="Mixed_5c")(x)
-        x = InceptionA(64, name="Mixed_5d")(x)
-        x = InceptionB(name="Mixed_6a")(x)
-        x = InceptionC(128, name="Mixed_6b")(x)
-        x = InceptionC(160, name="Mixed_6c")(x)
-        x = InceptionC(160, name="Mixed_6d")(x)
-        x = InceptionC(192, name="Mixed_6e")(x)
-        x = InceptionD(name="Mixed_7a")(x)
-        x = InceptionE("avg", name="Mixed_7b")(x)
-        x = InceptionE("max", name="Mixed_7c")(x)
+        x = InceptionA(32, name="Mixed_5b", calibrate=self.calibrate)(x)
+        x = InceptionA(64, name="Mixed_5c", calibrate=self.calibrate)(x)
+        x = InceptionA(64, name="Mixed_5d", calibrate=self.calibrate)(x)
+        x = InceptionB(name="Mixed_6a", calibrate=self.calibrate)(x)
+        x = InceptionC(128, name="Mixed_6b", calibrate=self.calibrate)(x)
+        x = InceptionC(160, name="Mixed_6c", calibrate=self.calibrate)(x)
+        x = InceptionC(160, name="Mixed_6d", calibrate=self.calibrate)(x)
+        x = InceptionC(192, name="Mixed_6e", calibrate=self.calibrate)(x)
+        x = InceptionD(name="Mixed_7a", calibrate=self.calibrate)(x)
+        x = InceptionE("avg", name="Mixed_7b", calibrate=self.calibrate)(x)
+        x = InceptionE("max", name="Mixed_7c", calibrate=self.calibrate)(x)
         return jnp.mean(x, axis=(1, 2))  # global avg pool -> (B, 2048)
 
 
@@ -251,6 +263,27 @@ def fid_weights_path(weights_path: Optional[str] = None) -> Optional[str]:
     return None
 
 
+def _calibrate_random_init(model: "InceptionV3FID", variables: dict) -> dict:
+    """Make the random-init fallback's features non-degenerate.
+
+    With default-init BN (running mean 0 / var 1, i.e. identity at eval) the
+    activations die through the ~90-conv depth: measured pool3 std ~1e-5 and
+    FID unable to separate clearly different distributions. One pass in
+    calibrate mode (normalize by BATCH stats) keeps every layer O(1); the
+    batch statistics it measured are recovered exactly from the
+    momentum-blended running stats (ra' = m*ra + (1-m)*batch, m=0.9) and
+    installed as the running stats, so eval mode reproduces the healthy
+    normalized propagation. Deterministic (fixed key) => self-consistent."""
+    calib = InceptionV3FID(resize_input=model.resize_input, calibrate=True)
+    size = 64 if model.resize_input else 299
+    x = jax.random.uniform(jax.random.key(1), (32, size, size, 3))
+    _, upd = calib.apply(variables, x, mutable=["batch_stats"])
+    batch = jax.tree_util.tree_map(
+        lambda new, old: (new - 0.9 * old) / 0.1,
+        upd["batch_stats"], variables["batch_stats"])
+    return {**variables, "batch_stats": batch}
+
+
 def load_fid_network(weights_path: Optional[str] = None, resize_input: bool = True):
     """Returns (apply_fn, variables). apply_fn(x_nhwc_01) -> (B, 2048)."""
     model = InceptionV3FID(resize_input=resize_input)
@@ -266,8 +299,10 @@ def load_fid_network(weights_path: Optional[str] = None, resize_input: bool = Tr
     else:
         warnings.warn(
             "FID inception weights not found — using deterministic random "
-            "init. FID values are self-consistent but NOT comparable to "
-            f"published numbers. Provide {FID_WEIGHTS_FILENAME} for parity.")
+            "init with BN-calibrated stats. FID values are self-consistent "
+            "but NOT comparable to published numbers. Provide "
+            f"{FID_WEIGHTS_FILENAME} for parity.")
+        variables = _calibrate_random_init(model, variables)
 
     def apply_fn(x):
         return model.apply(variables, x)
@@ -313,6 +348,11 @@ def frechet_distance(mu1, sigma1, mu2, sigma2, eps: float = 1e-6, method: str = 
         offset = np.eye(sigma1.shape[0], dtype=np.float32) * eps
         prod = jnp.asarray((sigma1 + offset) @ (sigma2 + offset), jnp.float32)
         tr_covmean = float(jnp.trace(sqrtm_newton_schulz(prod)))
+        if not np.isfinite(tr_covmean):
+            # f32 Newton–Schulz can diverge on nearly singular products
+            # (few-sample covariances, rank << dim); fall back to the
+            # reference's host scipy path (fid_score.py:307-313)
+            return frechet_distance(mu1, sigma1, mu2, sigma2, eps, method="scipy")
     return float(diff.dot(diff) + np.trace(sigma1) + np.trace(sigma2) - 2.0 * tr_covmean)
 
 
@@ -357,7 +397,10 @@ def make_training_fid(dec, spec, cfg, weights_path: Optional[str] = None):
     state_cache = {}
 
     def fid_fn(state, dataset=None, num_images: int = 2048, batch_size: int = 64):
-        decode = jax.jit(lambda p, z: dec.apply({"params": p}, z, train=False))
+        # eval-mode sampling reads the BN RUNNING stats (reference model.eval()
+        # semantics, fid_score.py:249): thread state.stats_d into the apply
+        decode = jax.jit(lambda p, s, z: dec.apply(
+            {"params": p, "batch_stats": s}, z, train=False))
         if "real" not in state_cache:
             if dataset is None:
                 raise ValueError("first FID call needs the dataset")
@@ -377,7 +420,7 @@ def make_training_fid(dec, spec, cfg, weights_path: Optional[str] = None):
             while made < num_images:
                 k = jr.fold_in(state.rng, 555 + i)
                 z = jr.normal(k, (batch_size, cfg.z_dim), jnp.float32)
-                x = decode(state.params_d, z)
+                x = decode(state.params_d, state.stats_d, z)
                 x = jnp.clip(x, 0.0, 1.0)
                 x = jnp.round(x * 255.0) / 255.0  # uint8 round-trip parity
                 made += batch_size
@@ -387,3 +430,6 @@ def make_training_fid(dec, spec, cfg, weights_path: Optional[str] = None):
         return frechet_distance(mu1, s1, mu2, s2)
 
     return fid_fn
+    calibrate: bool = False
+    calibrate: bool = False
+    calibrate: bool = False

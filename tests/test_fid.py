@@ -145,3 +145,51 @@ class TestEndToEnd:
         fid_diff = fid_between_batches(feat, batches(0), batches(2, shift=0.4))
         assert fid_same < fid_diff
         assert fid_same < 0.2  # finite-sample noise floor (256 samples, 32-d)
+
+
+@pytest.mark.slow  # inception compiles + 299x299 forwards on CPU
+class TestTrainingFIDLoop:
+    def test_trainer_with_fid_end_to_end(self, tmp_path):
+        """with_fid=True through the REAL trainer: regression for the
+        eval-mode decode (train=False) forgetting to thread the BN running
+        stats (batch_stats) into the decoder apply."""
+        from soft_intro_vae_tpu.data.images import ArrayDataset, ImageSpec
+        from soft_intro_vae_tpu.train.image import ImageConfig, train_soft_intro_vae
+
+        spec = ImageSpec("t", 32, (8, 16), 3)
+        imgs = np.random.default_rng(0).random((32, 32, 32, 3)).astype(np.float32)
+        cfg = ImageConfig(dataset="cifar10", z_dim=8, batch_size=16, num_epochs=1,
+                          num_vae=0, seed=0, with_fid=True, fid_num_images=16,
+                          result_dir=str(tmp_path), verbose=False)
+        state, summary = train_soft_intro_vae(
+            cfg, dataset=ArrayDataset(imgs, seed=1), spec=spec)
+        # no real weights in the test env -> metric renamed, value finite
+        assert summary["fid_metric"] == "fid_selfconsistent"
+        assert summary["best_fid"] is not None and np.isfinite(summary["best_fid"])
+
+
+@pytest.mark.slow  # full inception forwards on CPU
+class TestCalibratedFallback:
+    def test_random_init_fid_discriminates(self):
+        """The no-weights fallback must produce NON-degenerate features:
+        before BN-stat calibration the random-init network's pool3 std was
+        ~1e-5 and FID could not separate clearly different distributions."""
+        from soft_intro_vae_tpu.metrics.fid import (
+            compute_statistics_streaming, frechet_distance, load_fid_network,
+        )
+
+        apply_fn, _ = load_fid_network(None)
+        rng = np.random.default_rng(0)
+
+        def stats(maker):
+            return compute_statistics_streaming(apply_fn, (maker() for _ in range(2)))
+
+        A = stats(lambda: rng.random((16, 32, 32, 3), np.float32))
+        C = stats(lambda: rng.random((16, 32, 32, 3), np.float32))
+        B = stats(lambda: np.tile(rng.random((16, 1, 1, 3), np.float32), (1, 32, 32, 1)))
+        feat_std = float(np.sqrt(np.trace(A[1]) / A[1].shape[0]))
+        assert feat_std > 1e-2, f"features degenerate (std={feat_std:.2e})"
+        same = frechet_distance(*A, *C)
+        diff = frechet_distance(*A, *B)
+        assert np.isfinite(same) and np.isfinite(diff)
+        assert diff > 50 * same, (same, diff)

@@ -79,3 +79,69 @@ def test_dryrun_multichip_8():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
+
+
+@pytest.mark.slow  # style model compiles twice
+def test_style_dp_step_matches_single_device():
+    """Style introspective step (own state type: EMA trees, buffers, traced
+    blend) on an 8-device mesh vs 1 device. Losses must agree tightly;
+    parameter UPDATES are compared at the norm level (beta1=0 lreq-Adam is
+    sign-like where a gradient is ~0, so elementwise comparison is ill-posed
+    under f32 reduction-order noise, but a broken all-reduce shifts the
+    update norm by O(1))."""
+    from soft_intro_vae_tpu.train.lreq_adam import scale_by_lreq_adam
+    from soft_intro_vae_tpu.train.style_step import (
+        StyleModel, StyleModelConfig, StyleStepConfig, StyleTrainState, build_style_steps,
+    )
+
+    model = StyleModel(StyleModelConfig(startf=8, maxf=16, layer_count=2,
+                                        latent_size=8, mapping_layers=2))
+    opt = scale_by_lreq_adam(beta2=0.99)
+    pe, pd, buf = model.init_params(jax.random.key(0))
+
+    def fresh_state():
+        copy = lambda t: jax.tree_util.tree_map(jnp.array, t)
+        return StyleTrainState(
+            step=jnp.asarray(0), params_e=copy(pe), params_d=copy(pd), buffers=copy(buf),
+            ema_e=copy(pe), ema_d=copy(pd), ema_buffers=copy(buf),
+            opt_e=opt.init(pe), opt_d=opt.init(pd),
+            lr=jnp.asarray(1e-3, jnp.float32), ema_beta=jnp.asarray(0.999, jnp.float32),
+            rng=jax.random.key(7),
+        )
+
+    scfg = StyleStepConfig(latent_size=8, beta_neg=32.0, scale=1.0 / (3 * 64))
+    _, intro = build_style_steps(model, scfg, lod=1, blended=False, optimizer=opt)
+    x = jax.random.normal(jax.random.key(3), (16, 8, 8, 3))
+    blend = jnp.asarray(1.0, jnp.float32)
+
+    s1, m1 = intro(fresh_state(), x, blend)
+
+    mesh = pmesh.make_data_mesh()
+    s8, m8 = intro(pmesh.shard_state(fresh_state(), mesh), pmesh.shard_batch(x, mesh), blend)
+
+    for k in ("loss_e", "loss_d", "rec_loss", "real_kl"):
+        assert float(m1[k]) == pytest.approx(float(m8[k]), rel=1e-4), k
+    for name in ("params_e", "params_d"):
+        init = {"params_e": pe, "params_d": pd}[name]
+        sq_diff = sq_ref = 0.0
+        for (path, a), (_, b), (_, a0) in zip(
+                jax.tree_util.tree_flatten_with_path(getattr(s8, name))[0],
+                jax.tree_util.tree_flatten_with_path(getattr(s1, name))[0],
+                jax.tree_util.tree_flatten_with_path(init)[0]):
+            da = np.asarray(a) - np.asarray(a0)
+            db = np.asarray(b) - np.asarray(a0)
+            sq_diff += float(np.sum((da - db) ** 2))
+            sq_ref += float(np.sum(db ** 2))
+            # block biases feed lrelu -> instance norm, which removes
+            # per-channel constants: their true gradient is a near-zero
+            # lrelu-kink residual, so the sign-like optimizer step there is
+            # float-noise — exclude them from the per-leaf check
+            key = jax.tree_util.keystr(path)
+            if "bias" in key and "block_" in key:
+                continue
+            rel = float(np.linalg.norm(da - db)) / (float(np.linalg.norm(db)) + 1e-12)
+            assert rel < 0.01, f"8-device {name}{key} update diverged: relative L2 {rel:.4f}"
+        # global: a broken all-reduce shifts the whole update by O(1), while
+        # the excluded degenerate leaves can contribute at most a few percent
+        g_rel = (sq_diff ** 0.5) / (sq_ref ** 0.5 + 1e-12)
+        assert g_rel < 0.15, f"8-device {name} global update diverged: {g_rel:.4f}"
