@@ -395,12 +395,13 @@ def make_training_fid(dec, spec, cfg, weights_path: Optional[str] = None):
 
     apply_fn, _ = load_fid_network(weights_path)
     state_cache = {}
+    # eval-mode sampling reads the BN RUNNING stats (reference model.eval()
+    # semantics, fid_score.py:249): thread state.stats_d into the apply.
+    # Jitted ONCE here — a per-call jit wrapper would recompile every eval.
+    decode = jax.jit(lambda p, s, z: dec.apply(
+        {"params": p, "batch_stats": s}, z, train=False))
 
     def fid_fn(state, dataset=None, num_images: int = 2048, batch_size: int = 64):
-        # eval-mode sampling reads the BN RUNNING stats (reference model.eval()
-        # semantics, fid_score.py:249): thread state.stats_d into the apply
-        decode = jax.jit(lambda p, s, z: dec.apply(
-            {"params": p, "batch_stats": s}, z, train=False))
         if "real" not in state_cache:
             if dataset is None:
                 raise ValueError("first FID call needs the dataset")
@@ -430,6 +431,3 @@ def make_training_fid(dec, spec, cfg, weights_path: Optional[str] = None):
         return frechet_distance(mu1, s1, mu2, s2)
 
     return fid_fn
-    calibrate: bool = False
-    calibrate: bool = False
-    calibrate: bool = False

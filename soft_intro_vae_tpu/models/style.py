@@ -129,7 +129,11 @@ class EncodeBlock(nn.Module):
         # the separate _spatial_stats + instance_norm passes re-read the
         # activation four times for the same two reductions
         m1, v1 = _moments(x)
-        style_1 = jnp.concatenate([m1, jnp.sqrt(v1)], axis=-1)  # (B, 2*inputs) f32
+        # +1e-12 inside the sqrt: at v=0 (clamped one-pass variance of a
+        # near-constant channel) sqrt's backward is inf and inf*0 from the
+        # clamp's zero cotangent poisons the whole update with NaN; the
+        # offset (std error <=1e-6) keeps the gradient finite
+        style_1 = jnp.concatenate([m1, jnp.sqrt(v1 + 1e-12)], axis=-1)  # (B, 2*inputs) f32
         rstd1 = jax.lax.rsqrt(v1 + 1e-5)
         x = _channel_affine(x, rstd1, -m1 * rstd1)
         if self.last:
@@ -151,7 +155,7 @@ class EncodeBlock(nn.Module):
         x = x + self.param("bias_2", nn.initializers.zeros, (self.outputs,)).astype(self.dtype)
         x = nn.leaky_relu(x, 0.2)
         m2, v2 = _moments(x)
-        style_2 = jnp.concatenate([m2, jnp.sqrt(v2)], axis=-1)
+        style_2 = jnp.concatenate([m2, jnp.sqrt(v2 + 1e-12)], axis=-1)
         rstd2 = jax.lax.rsqrt(v2 + 1e-5)
         x = _channel_affine(x, rstd2, -m2 * rstd2)
         w1 = LreqDense(self.latent_size, name="style_1")(style_1)

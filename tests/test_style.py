@@ -253,3 +253,25 @@ TRAIN:
         assert cfg.beta_kl == 0.5  # override applied
         assert cfg.beta_neg == (2048, 1024)
         assert cfg.lod_2_batch_tables == {"1GPU": [128, 64]}
+
+
+class TestEncodeBlockGradSafety:
+    def test_near_constant_channel_grads_finite(self):
+        """Regression: the one-pass clamped variance sqrt(max(E[x^2]-m^2, 0))
+        had an inf*0=NaN backward whenever the clamp engaged (near-constant
+        channel with large mean); the +1e-12 sqrt offset keeps it finite."""
+        import jax
+        from soft_intro_vae_tpu.models.style import EncodeBlock
+
+        blk = EncodeBlock(inputs=4, outputs=8, latent_size=8, fused_scale=False)
+        x = jnp.full((2, 8, 8, 4), 100.0, jnp.float32)
+        x = x.at[0, 0, 0, 0].add(1e-3)  # variance cancels to <=0 in f32
+        params = blk.init(jax.random.key(0), x)["params"]
+
+        def loss(p, x):
+            h, w1, w2 = blk.apply({"params": p}, x)
+            return jnp.sum(h) + jnp.sum(w1) + jnp.sum(w2)
+
+        gp, gx = jax.grad(loss, argnums=(0, 1))(params, x)
+        for leaf in jax.tree_util.tree_leaves((gp, gx)):
+            assert np.isfinite(np.asarray(leaf)).all()
