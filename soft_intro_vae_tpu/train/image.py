@@ -172,9 +172,15 @@ def build_image_training(cfg: ImageConfig, spec: ImageSpec):
 
 
 def sync_target_decoder(state: TrainState) -> TrainState:
-    """bootstrap weight sync: target <- online (bootstrap:680-682)."""
-    copy = jax.tree_util.tree_map(lambda x: x, state.params_d)
-    stats = jax.tree_util.tree_map(lambda x: x, state.stats_d)
+    """bootstrap weight sync: target <- online (bootstrap:680-682).
+
+    Must be a REAL buffer copy (`.copy()`), not a tree identity: the train
+    step donates its input state, and two state leaves aliasing one buffer
+    (params_d and params_d_target after an identity "copy") is rejected by
+    the TPU runtime with an InvalidArgument at the next step's dispatch.
+    CPU ignores donation, which is why only real-chip runs ever saw it."""
+    copy = jax.tree_util.tree_map(lambda x: x.copy(), state.params_d)
+    stats = jax.tree_util.tree_map(lambda x: x.copy(), state.stats_d)
     return state.replace(params_d_target=copy, stats_d_target=stats)
 
 

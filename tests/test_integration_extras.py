@@ -147,3 +147,24 @@ class TestTrainerScanSteps:
         for a, b in zip(jax.tree_util.tree_leaves(s1.params_d),
                         jax.tree_util.tree_leaves(s3.params_d)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
+
+
+class TestBootstrapTargetSyncAliasing:
+    def test_sync_makes_fresh_buffers(self):
+        """Regression: sync_target_decoder must COPY, not alias — the donated
+        train step rejects two state leaves sharing one buffer on TPU
+        (InvalidArgument at the next dispatch; CPU ignores donation, so only
+        real-chip runs crashed)."""
+        from soft_intro_vae_tpu.train.image import build_image_training, sync_target_decoder
+
+        spec = ImageSpec("t", 16, (8, 16), 3)
+        cfg = _tiny_cfg(bootstrap=True, gamma_r=1.0)
+        _, _, state, _, _, _ = build_image_training(cfg, spec)
+        synced = sync_target_decoder(state)
+        for a, b in zip(jax.tree_util.tree_leaves(synced.params_d),
+                        jax.tree_util.tree_leaves(synced.params_d_target)):
+            assert a is not b  # the old identity tree_map returned the SAME object
+            for sa, sb in zip(a.addressable_shards, b.addressable_shards):
+                assert (sa.data.unsafe_buffer_pointer()
+                        != sb.data.unsafe_buffer_pointer())
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
