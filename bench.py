@@ -6,11 +6,15 @@ Recipe = the reference's CIFAR-10 north-star config
 (soft_intro_vae/README.md:66): z_dim=128, beta=(1,1,256), batch 32, full
 introspective E+D double update (12 forwards + 2 backwards per iteration).
 
-vs_baseline: ratio against a reference-equivalent PyTorch implementation of
-the same step measured on this host's CPU (the reference's own GPU numbers
-don't exist — SURVEY §6; the reference publishes FID only). The torch number
-is cached in .bench_baseline_cache.json after the first run. See
-BENCH_NOTES.md.
+vs_baseline == vs_torch_cpu: ratio against a reference-equivalent PyTorch
+implementation of the same step on this host's CPU (the reference's own GPU
+numbers don't exist — SURVEY §6; the reference publishes FID only). The
+torch number is PINNED in the committed bench_baseline.json (idle-host
+measurement) — re-measuring per round made the ratio incomparable because
+this 1-core host's throughput swings 3x with background load.
+vs_v100_bound: measured throughput over the FLOPs-derived theoretical
+ceiling of this recipe on a V100 (8.15 GFLOP/image, 15.7 TFLOPS fp32 peak
+=> 1,926 img/s). See BENCH_NOTES.md.
 """
 
 import json
@@ -57,6 +61,11 @@ def bench_jax() -> float:
 
     warmup = int(os.environ.get("BENCH_WARMUP", WARMUP))
     iters = int(os.environ.get("BENCH_ITERS", ITERS))
+    if iters % scan_steps != 0:
+        # effective work differs from the env vars' nominal request; say so
+        # loudly so BENCH_NOTES rows never compare different workloads
+        print(f"BENCH: iters={iters} not divisible by scan_steps={scan_steps}; "
+              f"running {max(1, iters // scan_steps) * scan_steps} steps", file=sys.stderr)
     launches = max(1, iters // scan_steps)
     for _ in range(max(1, warmup // scan_steps)):
         state, m = intro_step(state, x)
@@ -219,32 +228,40 @@ def bench_jax_cpu_subprocess(max_seconds: float = 300.0) -> float:
     raise RuntimeError(f"jax-cpu subprocess failed: {out.stderr[-400:]}")
 
 
-def get_torch_baseline() -> float:
-    if os.path.exists(CACHE):
-        try:
-            with open(CACHE) as f:
-                return float(json.load(f)["torch_cpu_images_per_sec"])
-        except Exception:
-            pass
+PINNED = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_baseline.json")
+
+
+def get_baselines() -> dict:
+    """Committed, pinned baselines (bench_baseline.json) — NOT re-measured
+    per run: the torch-CPU step on this shared 1-core host varies 2.9-9.0
+    img/s with load, which made vs_baseline incomparable round-over-round
+    (r01 implied 8.96, r02 implied 6.20). Re-measure explicitly with
+    `python bench.py --baselines` on an idle host if torch/host changes."""
     try:
-        val = bench_torch_cpu()
-    except Exception as e:  # torch missing/broken: no baseline
-        print(f"torch baseline unavailable: {e}", file=sys.stderr)
-        return 0.0
-    with open(CACHE, "w") as f:
-        json.dump({"torch_cpu_images_per_sec": val}, f)
-    return val
+        with open(PINNED) as f:
+            return json.load(f)
+    except Exception as e:
+        print(f"pinned baseline unavailable: {e}", file=sys.stderr)
+        return {}
 
 
 def main():
     ips = bench_jax()
-    base = get_torch_baseline()
-    vs = ips / base if base > 0 else 1.0
+    base = get_baselines()
+    torch_cpu = float(base.get("torch_cpu_images_per_sec", 0.0))
+    v100 = float(base.get("v100_fp32_bound_images_per_sec", 0.0))
+    vs_torch = ips / torch_cpu if torch_cpu > 0 else 1.0
     print(json.dumps({
         "metric": "cifar10_softintrovae_train_throughput",
         "value": round(ips, 2),
         "unit": "images/sec/chip",
-        "vs_baseline": round(vs, 2),
+        # vs_baseline == vs_torch_cpu (pinned): TPU-chip vs reference-torch on
+        # this host's CPU. vs_v100_bound is the honest cross-hardware ratio:
+        # measured throughput over the FLOPs-derived *theoretical ceiling* of
+        # the reference recipe on a V100 (see bench_baseline.json provenance).
+        "vs_baseline": round(vs_torch, 2),
+        "vs_torch_cpu": round(vs_torch, 2),
+        "vs_v100_bound": round(ips / v100, 3) if v100 > 0 else None,
     }))
 
 
@@ -257,17 +274,15 @@ if __name__ == "__main__":
         ips = bench_jax()
         print("JAX_CPU_IPS", ips)
     elif "--baselines" in sys.argv:
-        # one-off: measure + cache both host baselines for BENCH_NOTES
+        # one-off: re-measure both host baselines (run on an IDLE host);
+        # prints values to paste into the committed bench_baseline.json
         jax_cpu = bench_jax_cpu_subprocess()
-        torch_cpu = get_torch_baseline()
+        torch_cpu = bench_torch_cpu()
         data = {"jax_cpu_images_per_sec": jax_cpu, "torch_cpu_images_per_sec": torch_cpu}
-        try:
-            with open(CACHE) as f:
-                data = {**json.load(f), **data}
-        except Exception:
-            pass
         with open(CACHE, "w") as f:
             json.dump(data, f)
         print(json.dumps(data))
+        print("NOTE: update bench_baseline.json by hand if these supersede "
+              "the pinned values (idle-host measurements only)", file=sys.stderr)
     else:
         main()

@@ -58,20 +58,27 @@ class ArrayDataset:
     def __init__(self, images: np.ndarray, seed: int = 0, augment_fn=None):
         assert images.ndim == 4, "expect (N, H, W, C)"
         self.images = images
+        self._seed = seed
         self.rng = np.random.default_rng(seed)
         self.augment_fn = augment_fn
 
     def __len__(self) -> int:
         return self.images.shape[0]
 
-    def epoch(self, batch_size: int, shuffle: bool = True, drop_last: bool = False) -> Iterator[np.ndarray]:
+    def epoch(self, batch_size: int, shuffle: bool = True, drop_last: bool = False,
+              epoch_index: Optional[int] = None) -> Iterator[np.ndarray]:
+        """epoch_index, when given, seeds the shuffle/augment draws for this
+        epoch deterministically (replay-identical resume — a resumed run at
+        epoch E replays an uninterrupted run's exact batches); when None the
+        sequential internal stream is used (legacy behavior)."""
         n = len(self)
-        idx = self.rng.permutation(n) if shuffle else np.arange(n)
+        rng = self.rng if epoch_index is None else np.random.default_rng((self._seed, epoch_index))
+        idx = rng.permutation(n) if shuffle else np.arange(n)
         end = n - (n % batch_size) if drop_last else n
         for i in range(0, end, batch_size):
             batch = self.images[idx[i : i + batch_size]]
             if self.augment_fn is not None:
-                batch = self.augment_fn(batch, self.rng)
+                batch = self.augment_fn(batch, rng)
             yield batch
 
 

@@ -304,8 +304,10 @@ def load_fid_network(weights_path: Optional[str] = None, resize_input: bool = Tr
             f"{FID_WEIGHTS_FILENAME} for parity.")
         variables = _calibrate_random_init(model, variables)
 
-    def apply_fn(x):
-        return model.apply(variables, x)
+    # jit ONCE here: the streaming-stats helper used to re-wrap its argument
+    # in jax.jit per call, paying a fresh Inception trace+compile on every
+    # FID evaluation (same bug class as make_training_fid's decode path)
+    apply_fn = jax.jit(lambda x: model.apply(variables, x))
 
     return apply_fn, variables
 
@@ -358,8 +360,12 @@ def frechet_distance(mu1, sigma1, mu2, sigma2, eps: float = 1e-6, method: str = 
 
 def compute_statistics_streaming(apply_fn: Callable, batches: Iterable[np.ndarray]) -> Tuple[np.ndarray, np.ndarray]:
     """One-pass mean/covariance of pool3 activations over an iterable of
-    NHWC [0,1] batches. Forward jitted; accumulation in float64 on host."""
-    fwd = jax.jit(apply_fn)
+    NHWC [0,1] batches. Forward jitted; accumulation in float64 on host.
+
+    apply_fn is used as-is when it is already a jitted callable (the
+    load_fid_network path) so repeated FID evaluations share ONE compiled
+    Inception executable; plain callables are jitted here once per call."""
+    fwd = apply_fn if isinstance(apply_fn, jax.stages.Wrapped) else jax.jit(apply_fn)
     n = 0
     s = None
     ss = None

@@ -226,10 +226,13 @@ def train_soft_intro_vae(cfg: ImageConfig, dataset: Optional[ArrayDataset] = Non
     if cfg.pretrained:
         from soft_intro_vae_tpu.utils.checkpoint import load_checkpoint
         state, _, _ = load_checkpoint(cfg.pretrained, state)
+        # re-shard the restored state onto the mesh (same as style.py resume)
+        # so multi-chip runs don't recompile against host-placed params
+        state = pmesh.shard_state(state, mesh)
 
     lr_e_sched = optim.multistep_lr(cfg.lr_e, (350,), 0.1)
     lr_d_sched = optim.multistep_lr(cfg.lr_d, (350,), 0.1)
-    aug_rng = np.random.default_rng(max(cfg.seed, 0) + 1)
+    aug_seed = max(cfg.seed, 0) + 1  # per-epoch reseeded (replay-identical resume)
 
     fid_fn = None
     fid_name = "fid"
@@ -267,7 +270,10 @@ def train_soft_intro_vae(cfg: ImageConfig, dataset: Optional[ArrayDataset] = Non
         step_fn = vanilla_step if epoch < cfg.num_vae else intro_step
 
         def host_batches():
-            for batch in dataset.epoch(cfg.batch_size, drop_last=True):
+            # epoch-index seeding makes shuffle/augment draws a pure function
+            # of (seed, epoch): a resumed run replays the uninterrupted run
+            aug_rng = np.random.default_rng((aug_seed, epoch))
+            for batch in dataset.epoch(cfg.batch_size, drop_last=True, epoch_index=epoch):
                 if cfg.mirror_augment:
                     batch = augment_mirror(batch, aug_rng)
                 yield batch
@@ -299,8 +305,10 @@ def train_soft_intro_vae(cfg: ImageConfig, dataset: Optional[ArrayDataset] = Non
             k = int(x.shape[0]) if cfg.scan_steps > 1 else 1
             state, m = step_fn(state, x)
             device_metrics.append(m)
+            # fire when a multiple of test_iter lies in [cur_iter, cur_iter+k);
+            # at k=1 this reproduces the reference's `cur_iter % test_iter == 0`
             if cfg.save_figures and (cur_iter == 0
-                                     or cur_iter // cfg.test_iter != (cur_iter + k) // cfg.test_iter):
+                                     or (cur_iter + k - 1) // cfg.test_iter != (cur_iter - 1) // cfg.test_iter):
                 grid_x = np.asarray(x)[0] if cfg.scan_steps > 1 else np.asarray(x)
                 _save_sample_grid(enc, dec, state, grid_x, cfg, cur_iter)
             cur_iter += k

@@ -19,6 +19,7 @@ import dataclasses
 import os
 import time
 from bisect import bisect_right
+from functools import partial
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -104,6 +105,11 @@ class StyleConfig:
 
         with open(path) as f:
             y = yaml.safe_load(f) or {}
+        if len(overrides) % 2 != 0:
+            # yacs merge_from_list asserts even length (launcher.py:42-50);
+            # a dangling key is always a CLI typo — fail loudly
+            raise ValueError(
+                f"KEY VALUE overrides must come in pairs, got odd-length {list(overrides)}")
         for i in range(0, len(overrides) - 1, 2):
             key, val = overrides[i], overrides[i + 1]
             node = y
@@ -469,6 +475,16 @@ def _make_style_fid(model: StyleModel, cfg: StyleConfig):
     apply_fn, _ = load_fid_network()
     real_cache: Dict[int, Tuple] = {}
 
+    # hoisted out of fid_fn and keyed on (lod, batch_size) as static args so
+    # repeated FID evaluations at the same LOD reuse ONE compiled sampler
+    # (the per-call closure used to retrace+compile every evaluation)
+    @partial(jax.jit, static_argnums=(3, 4))
+    def sample(params_d, buffers, k, lod, batch_size):
+        z = jax.random.normal(k, (batch_size, cfg.latent_space_size), jnp.float32)
+        rec, _ = model.generate(params_d, buffers, jax.random.fold_in(k, 1), lod, None, z,
+                                mixing=False, truncation=False, update_avg=False)
+        return jnp.clip(rec * 0.5 + 0.5, 0.0, 1.0)
+
     def fid_fn(state, dataset: MultiResImages, lod: int, batch_size: int = 32):
         res = model.layer_to_resolution[lod]
         if res not in real_cache:
@@ -482,19 +498,12 @@ def _make_style_fid(model: StyleModel, cfg: StyleConfig):
             real_cache[res] = compute_statistics_streaming(apply_fn, real_iter())
         mu1, s1 = real_cache[res]
 
-        @jax.jit
-        def sample(params_d, buffers, k):
-            z = jax.random.normal(k, (batch_size, cfg.latent_space_size), jnp.float32)
-            rec, _ = model.generate(params_d, buffers, jax.random.fold_in(k, 1), lod, None, z,
-                                    mixing=False, truncation=False, update_avg=False)
-            return jnp.clip(rec * 0.5 + 0.5, 0.0, 1.0)
-
         def fake_iter():
             made = 0
             i = 0
             while made < cfg.fid_num_images:
                 k = jax.random.fold_in(state.rng, 9000 + i)
-                yield np.asarray(sample(state.ema_d, state.ema_buffers, k))
+                yield np.asarray(sample(state.ema_d, state.ema_buffers, k, lod, batch_size))
                 made += batch_size
                 i += 1
 

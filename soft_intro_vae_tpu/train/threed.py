@@ -173,13 +173,21 @@ def train_soft_intro_vae_3d(cfg: ThreeDConfig):
     tracker = LossTracker(cfg.results_dir)
     lr_e_sched = optim.multistep_lr(cfg.lr_e, (350, 450, 550), 0.5)
     lr_d_sched = optim.multistep_lr(cfg.lr_d, (350, 450, 550), 0.5)
-    data_rng = np.random.default_rng(max(cfg.seed, 0) + 2)
+    # per-epoch seeding (below) instead of one sequential stream: a resumed
+    # run at epoch E replays the exact shuffle/augment draws of an
+    # uninterrupted run — same replay-identical upgrade as the style
+    # streaming shuffle (the reference's DataLoader resume is not replayable)
+    data_seed = max(cfg.seed, 0) + 2
 
     starting_epoch = 1
     if cfg.resume:
         latest = ckpt.load_latest(state)
         if latest is not None:
             state, ep, _ = latest
+            # restored arrays arrive with host/default placement; re-shard
+            # onto the mesh exactly like build_3d_training's initial state so
+            # the compiled step sees identical input shardings at N>1
+            state = pmesh.shard_state(state, mesh)
             starting_epoch = ep + 1
             if cfg.verbose:
                 print(f"resumed from epoch {ep}")
@@ -189,6 +197,7 @@ def train_soft_intro_vae_3d(cfg: ThreeDConfig):
     n = train_pts.shape[0]
     for epoch in range(starting_epoch, cfg.max_epochs + 1):
         step_fn = vanilla_step if epoch < cfg.num_vae else intro_step
+        data_rng = np.random.default_rng((data_seed, epoch))
         idx = data_rng.permutation(n)
         device_metrics = []
         for i in range(0, n - cfg.batch_size + 1, cfg.batch_size):
