@@ -118,6 +118,144 @@ def write_multires_shards_streaming(image_paths: List[str], out_dir: str, name: 
     return [w.path for w in writers.values()]
 
 
+# ------------------------------------------------------- per-source loaders
+# Parity with dataset_tool.py:537-658 (create_mnist/mnistrgb/cifar10/
+# cifar100/svhn) and :741-755 (create_celeba): same file layouts, shape
+# asserts, pad/crop specifics, and the exporter's RandomState(123) shuffle
+# (dataset_tool.py:301-303). Labels ride along as '{name}-rNN.labels' (.npy),
+# matching TFRecordExporter.add_labels' sidecar.
+
+_SHUFFLE_SEED = 123  # TFRecordExporter.choose_shuffled_order
+
+
+def _shuffled_order(n: int) -> np.ndarray:
+    order = np.arange(n)
+    np.random.RandomState(_SHUFFLE_SEED).shuffle(order)
+    return order
+
+
+def _onehot(labels: np.ndarray) -> np.ndarray:
+    out = np.zeros((labels.size, int(np.max(labels)) + 1), np.float32)
+    out[np.arange(labels.size), labels] = 1.0
+    return out
+
+
+def load_mnist(mnist_dir: str) -> tuple:
+    """idx3/idx1 gz files -> ((60000,32,32,1) u8 zero-padded from 28, onehot)."""
+    import gzip
+
+    with gzip.open(os.path.join(mnist_dir, "train-images-idx3-ubyte.gz"), "rb") as f:
+        images = np.frombuffer(f.read(), np.uint8, offset=16)
+    with gzip.open(os.path.join(mnist_dir, "train-labels-idx1-ubyte.gz"), "rb") as f:
+        labels = np.frombuffer(f.read(), np.uint8, offset=8)
+    images = images.reshape(-1, 28, 28, 1)
+    images = np.pad(images, [(0, 0), (2, 2), (2, 2), (0, 0)], constant_values=0)
+    assert images.shape == (60000, 32, 32, 1) and images.dtype == np.uint8
+    assert labels.shape == (60000,) and 0 == np.min(labels) and np.max(labels) == 9
+    return images, _onehot(labels)
+
+
+def load_mnistrgb(mnist_dir: str, num_images: int = 1_000_000,
+                  random_seed: int = 123) -> tuple:
+    """Random MNIST digit triplets as RGB channels (dataset_tool.py:562-576)."""
+    images, _ = load_mnist(mnist_dir)
+    images = images[..., 0]
+    rnd = np.random.RandomState(random_seed)
+    idx = rnd.randint(images.shape[0], size=(num_images, 3))
+    return images[idx].transpose(0, 2, 3, 1), None  # (N,32,32,3)
+
+
+def load_cifar10(cifar10_dir: str) -> tuple:
+    import pickle
+
+    images, labels = [], []
+    for batch in range(1, 6):
+        with open(os.path.join(cifar10_dir, f"data_batch_{batch}"), "rb") as f:
+            data = pickle.load(f, encoding="latin1")
+        images.append(data["data"].reshape(-1, 3, 32, 32))
+        labels.append(data["labels"])
+    images = np.concatenate(images).transpose(0, 2, 3, 1)
+    labels = np.concatenate(labels)
+    assert images.shape == (50000, 32, 32, 3) and images.dtype == np.uint8
+    assert 0 == np.min(labels) and np.max(labels) == 9
+    return images, _onehot(labels)
+
+
+def load_cifar100(cifar100_dir: str) -> tuple:
+    import pickle
+
+    with open(os.path.join(cifar100_dir, "train"), "rb") as f:
+        data = pickle.load(f, encoding="latin1")
+    images = data["data"].reshape(-1, 3, 32, 32).transpose(0, 2, 3, 1)
+    labels = np.asarray(data["fine_labels"])
+    assert images.shape == (50000, 32, 32, 3) and images.dtype == np.uint8
+    assert 0 == np.min(labels) and np.max(labels) == 99
+    return images, _onehot(labels)
+
+
+def load_svhn(svhn_dir: str) -> tuple:
+    import pickle
+
+    images, labels = [], []
+    for batch in range(1, 4):
+        with open(os.path.join(svhn_dir, f"train_{batch}.pkl"), "rb") as f:
+            data = pickle.load(f, encoding="latin1")
+        images.append(data[0])
+        labels.append(data[1])
+    images = np.concatenate(images)
+    labels = np.concatenate(labels)
+    assert images.shape[1:] == (3, 32, 32) and images.dtype == np.uint8
+    return images.transpose(0, 2, 3, 1), _onehot(labels)
+
+
+def load_celeba(celeba_dir: str, cx: int = 89, cy: int = 121,
+                expected_images: Optional[int] = 202599) -> tuple:
+    """img_align_celeba_png/*.png -> 128x128 center crops at (cx, cy)."""
+    import glob
+
+    from PIL import Image
+
+    files = sorted(glob.glob(os.path.join(celeba_dir, "img_align_celeba_png", "*.png")))
+    if expected_images is not None and len(files) != expected_images:
+        raise FileNotFoundError(
+            f"expected {expected_images} images, found {len(files)}")
+    out = np.empty((len(files), 128, 128, 3), np.uint8)
+    for i, path in enumerate(files):
+        img = np.asarray(Image.open(path))
+        assert img.shape == (218, 178, 3), (path, img.shape)
+        out[i] = img[cy - 64: cy + 64, cx - 64: cx + 64]
+    return out, None
+
+
+SOURCE_CREATORS = {
+    "mnist": (load_mnist, 5),
+    "mnistrgb": (load_mnistrgb, 5),
+    "cifar10": (load_cifar10, 5),
+    "cifar100": (load_cifar100, 5),
+    "svhn": (load_svhn, 5),
+    "celeba": (load_celeba, 7),
+}
+
+
+def create_from_source(source: str, input_dir: str, out_dir: str,
+                       name: Optional[str] = None, parts: int = 1,
+                       min_level: int = 2, **loader_kwargs) -> List[str]:
+    """One per-source creator: load + shuffled order + per-LOD shards
+    (+ '{name}-rNN.labels' sidecar when the source carries labels)."""
+    loader, max_level = SOURCE_CREATORS[source]
+    images, labels = loader(input_dir, **loader_kwargs)
+    order = _shuffled_order(images.shape[0])
+    images = images[order]
+    name = name or source
+    paths = write_multires_shards(images, out_dir, name, max_level,
+                                  min_level=min_level, parts=parts)
+    if labels is not None:
+        lp = os.path.join(out_dir, f"{name}-r{max_level:02d}.labels")
+        np.save(lp, labels[order])
+        paths.append(lp + ".npy")
+    return paths
+
+
 def split_tfrecords(source_pattern: str, out_pattern: str, part_count: int,
                     train_size: int, min_level: int = 2, max_level: int = 10,
                     out_test_pattern: Optional[str] = None,
@@ -176,6 +314,17 @@ def main(argv=None):
     p_create.add_argument("--streaming", action="store_true",
                           help="constant-memory, one image at a time")
 
+    p_src = sub.add_parser("create-source",
+                           help="known source layout -> per-LOD shards "
+                                "(mnist/mnistrgb/cifar10/cifar100/svhn/celeba)")
+    p_src.add_argument("source", choices=sorted(SOURCE_CREATORS))
+    p_src.add_argument("-i", "--input", required=True, help="source data dir")
+    p_src.add_argument("-o", "--output", required=True, help="output dir")
+    p_src.add_argument("--name", default=None)
+    p_src.add_argument("--parts", type=int, default=1)
+    p_src.add_argument("--num-images", type=int, default=1_000_000,
+                       help="mnistrgb only: synthetic RGB triplet count")
+
     p_split = sub.add_parser("split", help="one-file-per-level -> per-part shards")
     p_split.add_argument("--source", required=True, help="pattern with one %%d (level)")
     p_split.add_argument("--out", required=True, help="pattern with two %% fields (level, part)")
@@ -187,6 +336,12 @@ def main(argv=None):
     p_split.add_argument("--max-level", type=int, default=10)
 
     args = ap.parse_args(argv)
+    if args.command == "create-source":
+        kwargs = {"num_images": args.num_images} if args.source == "mnistrgb" else {}
+        paths = create_from_source(args.source, args.input, args.output,
+                                   name=args.name, parts=args.parts, **kwargs)
+        print(f"wrote {len(paths)} files to {args.output}")
+        return
     if args.command == "split":
         n = split_tfrecords(args.source, args.out, args.parts, args.train_size,
                             args.min_level, args.max_level, args.out_test, args.parts_test)

@@ -79,6 +79,51 @@ class TestStyleFigures:
         out = reconstruction_figure(cfg, ckpt, ds, str(tmp_path / "rec.png"), count=4)
         assert out is None or os.path.exists(out)
 
+    @pytest.fixture
+    def samples_dir(self, tmp_path):
+        """PNG folder at 2x the model resolution (exercises the avg-pool)."""
+        from PIL import Image
+
+        d = tmp_path / "samples"
+        d.mkdir()
+        rng = np.random.RandomState(7)
+        for i in range(21):
+            arr = rng.randint(0, 255, (32, 32, 3), dtype=np.uint8)
+            Image.fromarray(arr).save(d / f"img_{i:03d}.png")
+        return str(d)
+
+    def test_multires_reconstruction(self, style_ckpt, samples_dir, tmp_path):
+        from soft_intro_vae_tpu.cli.figures import multires_reconstruction_figure
+
+        cfg, ckpt = style_ckpt
+        out = multires_reconstruction_figure(
+            cfg, ckpt, samples_dir, str(tmp_path / "multires.png"))
+        assert os.path.exists(out)
+        # 4 column groups: full-res pair (2*16) + layout padding, concatenated
+        import matplotlib.image as mpimg
+
+        img = mpimg.imread(out)
+        assert img.shape[1] == 4 * (2 * 16 + 4 + 10)
+
+    def test_paged_reconstruction(self, style_ckpt, samples_dir, tmp_path):
+        from soft_intro_vae_tpu.cli.figures import paged_reconstruction_figure
+
+        cfg, ckpt = style_ckpt
+        paths = paged_reconstruction_figure(
+            cfg, ckpt, samples_dir, str(tmp_path / "pages"), per_page=12)
+        # 21 images -> 2 pages (reference pages by 24 over the full folder)
+        assert len(paths) == 2
+        assert all(p is None or os.path.exists(p) for p in paths)
+
+    def test_interpolation_2_images(self, style_ckpt, samples_dir, tmp_path):
+        from soft_intro_vae_tpu.cli.figures import interpolation_2_images_figure
+
+        cfg, ckpt = style_ckpt
+        out = interpolation_2_images_figure(
+            cfg, ckpt, samples_dir, "img_000.png", "img_001.png",
+            str(tmp_path / "interp2.png"), steps=4)
+        assert out is None or os.path.exists(out)
+
 
 @pytest.fixture(scope="module")
 def threed_ckpt(tmp_path_factory):
