@@ -50,17 +50,27 @@ def shard_state(state: Any, mesh: Mesh) -> Any:
     return jax.device_put(state, replicated(mesh))
 
 
+def _place(batch: Any, sharding: NamedSharding) -> Any:
+    """device_put on a single host; on multi-host (multi-controller) meshes
+    each process contributes its LOCAL slice of the global batch via
+    jax.make_array_from_process_local_data — the TPU-pod analog of the
+    reference's per-rank DataLoader shards (dataloader.py:53-67)."""
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)), batch)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)
+
+
 def shard_batch(batch: Any, mesh: Mesh) -> Any:
     """Shard array(s) along the leading (batch) axis across the data axis."""
-    sharding = batch_sharding(mesh)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)
+    return _place(batch, batch_sharding(mesh))
 
 
 def shard_scan_batch(batch: Any, mesh: Mesh) -> Any:
     """Shard (K, B, ...) stacked step batches along axis 1 (the batch axis);
     the leading K axis is the in-program lax.scan step axis."""
-    sharding = NamedSharding(mesh, P(None, DATA_AXIS))
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)
+    return _place(batch, NamedSharding(mesh, P(None, DATA_AXIS)))
 
 
 def host_local_batch_size(global_batch_size: int, mesh: Mesh) -> int:

@@ -209,6 +209,12 @@ def train_soft_intro_vae(cfg: ImageConfig, dataset: Optional[ArrayDataset] = Non
                                      synthetic_fallback=cfg.synthetic_fallback)
     from soft_intro_vae_tpu.data.images import SyntheticImages
 
+    if jax.process_count() > 1:
+        # multi-host pod: each process keeps a disjoint contiguous slice and
+        # contributes it as its local shard of the global batch (mesh._place)
+        from soft_intro_vae_tpu.parallel.multihost import per_host_slice
+
+        dataset.images = dataset.images[per_host_slice(len(dataset))]
     synthetic_data = isinstance(dataset, SyntheticImages)
     if synthetic_data:
         print("!" * 72)

@@ -278,10 +278,16 @@ def make_style_dataset(cfg: StyleConfig):
     if cfg.dataset_path and "%" in cfg.dataset_path:
         from soft_intro_vae_tpu.data.streaming import StreamingTFRecords
 
+        # rank/world_size default to this process's position in the jax
+        # runtime (launcher.py:26-29 equivalent — no launcher needed, every
+        # host runs the same program); explicit config values win.
+        rank, world = cfg.rank, cfg.world_size
+        if world == 1 and jax.process_count() > 1:
+            rank, world = jax.process_index(), jax.process_count()
         return StreamingTFRecords(
             cfg.dataset_path, part_count=cfg.part_count, dataset_size=cfg.dataset_size,
-            max_resolution_level=cfg.max_resolution_level, rank=cfg.rank,
-            world_size=cfg.world_size, buffer_size_mb=cfg.buffer_size_mb,
+            max_resolution_level=cfg.max_resolution_level, rank=rank,
+            world_size=world, buffer_size_mb=cfg.buffer_size_mb,
             channels=cfg.channels, seed=cfg.seed, flip=cfg.flip_images)
     raise ValueError(
         "DATASET.PATH must be a per-LOD TFRecord %-pattern "
