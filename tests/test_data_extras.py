@@ -56,15 +56,17 @@ class TestDCGAN:
         from soft_intro_vae_tpu.models.dcgan import DCGANEncoder, DCGANGenerator
 
         gen = DCGANGenerator()
-        z = jnp.zeros((2, 24))
+        z = jnp.zeros((1, 24))
         gv = gen.init(jax.random.key(0), z, train=False)
         x = gen.apply(gv, z, train=False)
-        assert x.shape == (2, 32, 32, 3)
+        assert x.shape == (1, 32, 32, 3)
         assert float(jnp.max(jnp.abs(x))) <= 1.0  # tanh output
+        # encoder leg is shape-only -> eval_shape (skips a ~15s compile)
         enc = DCGANEncoder()
-        ev = enc.init(jax.random.key(1), x, train=False)
-        out = enc.apply(ev, x, train=False)
-        assert out.shape == (2, 24)
+        ev = jax.eval_shape(lambda k, x: enc.init(k, x, train=False),
+                            jax.random.key(1), x)
+        out = jax.eval_shape(lambda v, x: enc.apply(v, x, train=False), ev, x)
+        assert out.shape == (1, 24)
 
 
 class TestAugments:
@@ -116,16 +118,17 @@ class TestDatasetPrep:
         assert out.shape == (2, 2, 3)
 
 
-@pytest.mark.slow  # style encoder compiles
 class TestStyleEncoderVariants:
     def test_last_block_dense_variant(self):
         from soft_intro_vae_tpu.models.style import StyleEncoder
 
         enc = StyleEncoder(startf=8, maxf=32, layer_count=3, latent_size=16,
                            last_block_dense=True)
-        x = jnp.zeros((2, 16, 16, 3))
-        v = enc.init(jax.random.key(0), x, method=StyleEncoder.init_all)
-        out = enc.apply(v, x, 2, None)
+        # shape-only plumbing check -> eval_shape (no XLA compile)
+        x = jax.ShapeDtypeStruct((2, 16, 16, 3), jnp.float32)
+        v = jax.eval_shape(lambda x: enc.init(jax.random.key(0), x,
+                                              method=StyleEncoder.init_all), x)
+        out = jax.eval_shape(lambda v, x: enc.apply(v, x, 2, None), v, x)
         assert out.shape == (2, 1, 16)
 
     def test_with_fc_head_variant(self):
@@ -133,9 +136,10 @@ class TestStyleEncoderVariants:
 
         enc = StyleEncoder(startf=8, maxf=32, layer_count=3, latent_size=16,
                            with_fc_head=True)
-        x = jnp.zeros((2, 16, 16, 3))
-        v = enc.init(jax.random.key(0), x, method=StyleEncoder.init_all)
-        styles, fc = enc.apply(v, x, 2, None)
+        x = jax.ShapeDtypeStruct((2, 16, 16, 3), jnp.float32)
+        v = jax.eval_shape(lambda x: enc.init(jax.random.key(0), x,
+                                              method=StyleEncoder.init_all), x)
+        styles, fc = jax.eval_shape(lambda v, x: enc.apply(v, x, 2, None), v, x)
         assert styles.shape == (2, 1, 16)
         assert fc.shape == (2, 1)
 
@@ -290,10 +294,12 @@ class TestStyleEncoderVariantPlumbing:
             mc = StyleModelConfig(startf=8, maxf=16, layer_count=2, latent_size=8,
                                   mapping_layers=2, encoder_variant=variant)
             model = StyleModel(mc)
-            pe, pd, buf = model.init_params(jax.random.key(0))
-            x = jnp.zeros((2, 8, 8, 3))
-            eps = jnp.zeros((2, 8))
-            z, mu, logvar = model.encode(pe, x, 1, None, eps)
+            # plumbing/shape check: tracing via eval_shape exercises every
+            # Python branch of the variant wiring without 3 XLA compiles
+            pe, pd, buf = jax.eval_shape(model.init_params, jax.random.key(0))
+            x = jax.ShapeDtypeStruct((2, 8, 8, 3), jnp.float32)
+            eps = jax.ShapeDtypeStruct((2, 8), jnp.float32)
+            z, mu, logvar = jax.eval_shape(model.encode, pe, x, 1, None, eps)
             assert z.shape == (2, 8) and mu.shape == (2, 8)
 
     def test_unknown_variant_raises(self):

@@ -54,21 +54,27 @@ class TestMLP:
 class TestConvModels:
     @pytest.mark.parametrize("name,size,channels,cdim,zdim", IMAGE_CONFIGS)
     def test_encoder_decoder_shapes(self, name, size, channels, cdim, zdim):
+        # pure shape test: eval_shape traces the whole model (catching any
+        # sizing bug) without paying an XLA compile per config — the larger
+        # configs cost ~30s each to compile on this 1-core host
         enc = ConvEncoder(cdim=cdim, zdim=zdim, channels=channels, image_size=size)
         dec = ConvDecoder(cdim=cdim, zdim=zdim, channels=channels, image_size=size)
-        x = jnp.zeros((2, size, size, cdim))
-        variables = enc.init(jax.random.key(0), x, train=False)
-        (mu, logvar) = enc.apply(variables, x, train=False)
+        x = jax.ShapeDtypeStruct((2, size, size, cdim), jnp.float32)
+        variables = jax.eval_shape(lambda k, x: enc.init(k, x, train=False),
+                                   jax.random.key(0), x)
+        mu, logvar = jax.eval_shape(lambda v, x: enc.apply(v, x, train=False),
+                                    variables, x)
         assert mu.shape == logvar.shape == (2, zdim)
         s = size // (2 ** len(channels))
         assert enc.conv_output_spatial == s
-        dvars = dec.init(jax.random.key(1), mu, train=False)
-        y = dec.apply(dvars, mu, train=False)
+        dvars = jax.eval_shape(lambda k, m: dec.init(k, m, train=False),
+                               jax.random.key(1), mu)
+        y = jax.eval_shape(lambda v, m: dec.apply(v, m, train=False), dvars, mu)
         assert y.shape == (2, size, size, cdim)
 
     def test_batch_stats_update_in_train_mode(self):
-        enc = ConvEncoder(cdim=3, zdim=16, channels=(8, 16), image_size=16)
-        x = jax.random.normal(jax.random.key(2), (4, 16, 16, 3))
+        enc = ConvEncoder(cdim=3, zdim=16, channels=(8,), image_size=8)
+        x = jax.random.normal(jax.random.key(2), (4, 8, 8, 3))
         variables = enc.init(jax.random.key(0), x, train=False)
         _, upd = enc.apply(variables, x, train=True, mutable=["batch_stats"])
         before = jax.tree_util.tree_leaves(variables["batch_stats"])
@@ -76,8 +82,8 @@ class TestConvModels:
         assert any(not np.allclose(b, a) for b, a in zip(before, after))
 
     def test_composed_model_forward(self):
-        m = SoftIntroVAE(cdim=3, zdim=32, channels=(16, 32), image_size=32)
-        x = jnp.zeros((2, 32, 32, 3))
+        m = SoftIntroVAE(cdim=3, zdim=16, channels=(8, 16), image_size=16)
+        x = jnp.zeros((2, 16, 16, 3))
         variables = m.init(jax.random.key(0), x, deterministic=True, train=False)
         mu, logvar, z, rec = m.apply(variables, x, deterministic=True, train=False)
         assert rec.shape == x.shape
@@ -101,10 +107,16 @@ class TestConvModels:
 
 class TestPointNet:
     def test_shapes(self):
+        # shape-only: eval_shape avoids the ~27s PointNet compile; real
+        # execution is covered by test_maxpool_invariant_to_point_permutation
         m = SoftIntroVAE3D(z_dim=128, n_points=256)
-        x = jnp.zeros((2, 256, 3))
-        variables = m.init(jax.random.key(0), x, deterministic=True, train=False)
-        rec, mu, logvar = m.apply(variables, x, deterministic=True, train=False)
+        x = jax.ShapeDtypeStruct((2, 256, 3), jnp.float32)
+        variables = jax.eval_shape(
+            lambda k, x: m.init(k, x, deterministic=True, train=False),
+            jax.random.key(0), x)
+        rec, mu, logvar = jax.eval_shape(
+            lambda v, x: m.apply(v, x, deterministic=True, train=False),
+            variables, x)
         assert rec.shape == (2, 256, 3)
         assert mu.shape == logvar.shape == (2, 128)
 

@@ -11,7 +11,20 @@ from soft_intro_vae_tpu.train.state import TrainState
 from soft_intro_vae_tpu.train.step import StepConfig, build_train_steps
 
 
+# step builders + states are pure; memoize per-config so the ~6 tests on the
+# default config share ONE compiled (vanilla, intro) pair — on this 1-core
+# host each introspective-step compile costs ~20s, dominating the suite
+_SETUP_CACHE = {}
+
+
 def _setup(z_dim=2, bootstrap=False, **cfg_kw):
+    key = (z_dim, bootstrap, tuple(sorted(cfg_kw.items())))
+    if key not in _SETUP_CACHE:
+        _SETUP_CACHE[key] = _fresh_setup(z_dim, bootstrap, **cfg_kw)
+    return _SETUP_CACHE[key]
+
+
+def _fresh_setup(z_dim=2, bootstrap=False, **cfg_kw):
     enc = EncoderMLP(x_dim=2, z_dim=z_dim, n_layers=2, num_hidden=32)
     dec = DecoderMLP(x_dim=2, z_dim=z_dim, n_layers=2, num_hidden=32)
 
@@ -44,7 +57,7 @@ def _setup(z_dim=2, bootstrap=False, **cfg_kw):
 
 def test_vanilla_step_updates_both_subnets():
     state, (vanilla, _) = _setup()
-    x = jax.random.normal(jax.random.key(3), (16, 2))
+    x = jax.random.normal(jax.random.key(3), (8, 2))
     new_state, metrics = vanilla(state, x)
     assert int(new_state.step) == 1
     for old, new in [(state.params_e, new_state.params_e), (state.params_d, new_state.params_d)]:
@@ -55,7 +68,7 @@ def test_vanilla_step_updates_both_subnets():
 
 def test_intro_step_updates_and_metrics_finite():
     state, (_, intro) = _setup(beta_rec=0.2, beta_kl=0.3, beta_neg=0.9)
-    x = jax.random.normal(jax.random.key(4), (16, 2))
+    x = jax.random.normal(jax.random.key(4), (8, 2))
     new_state, m = intro(state, x)
     for k in ["loss_e", "loss_d", "rec", "kl_real", "kl_rec", "kl_fake", "expelbo_r", "expelbo_f", "diff_kl"]:
         assert np.isfinite(float(m[k])), k
@@ -87,8 +100,10 @@ def test_vanilla_reduces_loss_over_iters():
     state, (vanilla, _) = _setup()
     rng = np.random.RandomState(0)
     first = last = None
-    for i in range(200):
-        x = jnp.asarray(rng.randn(64, 2).astype(np.float32) * 0.5)
+    # bs=8 matches the other default-config tests so the vanilla step
+    # compiles once for the whole module
+    for i in range(300):
+        x = jnp.asarray(rng.randn(8, 2).astype(np.float32) * 0.5)
         state, m = vanilla(state, x)
         if i == 0:
             first = float(m["loss"])
@@ -114,7 +129,9 @@ def test_bootstrap_vanilla_leaves_online_decoder_frozen():
     # bootstrap vanilla phase reconstructs through the frozen target decoder,
     # so the online decoder gets zero gradient (reference model.forward
     # target=True default)
-    state, (vanilla, _) = _setup(bootstrap=True)
+    # gamma_r=1.0 matches the intro bootstrap test so the cached
+    # setup (and its compiled steps) is shared
+    state, (vanilla, _) = _setup(bootstrap=True, gamma_r=1.0)
     x = jax.random.normal(jax.random.key(8), (8, 2))
     new_state, _ = vanilla(state, x)
     for a, b in zip(
