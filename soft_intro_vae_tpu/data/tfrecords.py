@@ -237,6 +237,42 @@ class TFRecordFile:
             for rec in self._records_py():
                 yield _parse_example_py(rec, bytes_key, shape_key)
 
+    def examples_with_label(self, bytes_key: str = "data", shape_key: str = "shape",
+                            label_key: str = "label"
+                            ) -> Iterator[Tuple[bytes, Optional[Tuple[int, ...]], Optional[int]]]:
+        """Like examples() but also yields the int64 ``label`` field (None
+        when absent) — the ImageNet needs_labels layout
+        (style_soft_intro_vae/dataloader.py:205-213)."""
+        lib = _load_native()
+        if lib is not None:
+            h = lib.tfr_open(self.path.encode(), int(self.check_crc))
+            if not h:
+                raise FileNotFoundError(self.path)
+            try:
+                out_ptr = ctypes.POINTER(ctypes.c_uint8)()
+                ints = (ctypes.c_int64 * 8)()
+                while True:
+                    n = lib.tfr_next(h)
+                    if n == -1:
+                        return
+                    if n == -2:
+                        raise IOError(f"corrupt TFRecord: {self.path}")
+                    blen = lib.tfr_feature_bytes(h, bytes_key.encode(), ctypes.byref(out_ptr))
+                    data = ctypes.string_at(out_ptr, blen) if blen >= 0 else b""
+                    cnt = lib.tfr_feature_int64s(h, shape_key.encode(), ints, 8)
+                    shape = tuple(int(ints[i]) for i in range(cnt)) if cnt > 0 else None
+                    lcnt = lib.tfr_feature_int64s(h, label_key.encode(), ints, 1)
+                    label = int(ints[0]) if lcnt > 0 else None
+                    yield data, shape, label
+            finally:
+                lib.tfr_close(h)
+        else:
+            for rec in self._records_py():
+                data, shape = _parse_example_py(rec, bytes_key, shape_key)
+                _, label_tuple = _parse_example_py(rec, bytes_key, label_key)
+                label = label_tuple[0] if label_tuple else None
+                yield data, shape, label
+
 
 def _read_varint_py(buf: bytes, i: int) -> Tuple[int, int]:
     v = 0
