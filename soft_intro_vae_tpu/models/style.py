@@ -18,6 +18,7 @@ All pixel-level tensors are float32; lreq scaling keeps activations O(1).
 from __future__ import annotations
 
 import math
+import os
 from typing import Any, Optional, Tuple
 
 import flax.linen as nn
@@ -25,6 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from soft_intro_vae_tpu.models.lreq import LreqConv2d, LreqConvTranspose2d, LreqDense
+from soft_intro_vae_tpu.ops.adain_pallas import fused_bias_act_norm
 
 Array = jax.Array
 
@@ -108,6 +110,21 @@ def _channel_affine(x: Array, a: Array, b: Array) -> Array:
     return y.astype(x.dtype)
 
 
+def _fused_norm_on(override: Optional[bool]) -> bool:
+    """Use the Pallas fused producer+IN(+AdaIN) kernel? Default OFF: the
+    measured A/B (BENCH_NOTES.md "Fused IN+AdaIN Pallas kernel") shows XLA's
+    own fusion of these chains beats the hand kernel at every real model
+    shape — the ffhq256 max-LOD step regresses 66.8 -> 36.9 img/s with it.
+    Kept as an opt-in (SIV_FUSED_NORM=1 or fused_norm=True) with parity
+    tests so future TPU generations can re-evaluate cheaply."""
+    if override is not None:
+        return override
+    env = os.environ.get("SIV_FUSED_NORM")
+    if env is not None:
+        return env.lower() not in ("0", "false", "off")
+    return False
+
+
 class EncodeBlock(nn.Module):
     """net.py:63-126."""
 
@@ -117,25 +134,30 @@ class EncodeBlock(nn.Module):
     last: bool = False
     fused_scale: bool = True
     dtype: Any = jnp.float32  # conv-path compute dtype; style heads stay f32
+    fused_norm: Optional[bool] = None  # None = auto (Pallas kernel on TPU)
 
     @nn.compact
     def __call__(self, x: Array) -> Tuple[Array, Array, Array]:
         x = LreqConv2d(self.inputs, 3, 1, 1, use_bias=False, name="conv_1",
                        dtype=self.dtype)(x)
-        x = x + self.param("bias_1", nn.initializers.zeros, (self.inputs,)).astype(self.dtype)
-        x = nn.leaky_relu(x, 0.2)
+        bias_1 = self.param("bias_1", nn.initializers.zeros, (self.inputs,))
         # one moment sweep feeds BOTH the style-stats head (mean, std —
-        # net.py:97-101) and the instance norm (torch IN default eps=1e-5):
-        # the separate _spatial_stats + instance_norm passes re-read the
-        # activation four times for the same two reductions
-        m1, v1 = _moments(x)
+        # net.py:97-101) and the instance norm (torch IN default eps=1e-5);
+        # the Pallas fused chain (ops/adain_pallas.py) is opt-in only — the
+        # measured A/B shows XLA's own fusion wins (BENCH_NOTES.md)
+        if _fused_norm_on(self.fused_norm):
+            x, m1, v1 = fused_bias_act_norm(x, bias_1, mode="plain", eps=1e-5)
+        else:
+            x = x + bias_1.astype(self.dtype)
+            x = nn.leaky_relu(x, 0.2)
+            m1, v1 = _moments(x)
+            rstd1 = jax.lax.rsqrt(v1 + 1e-5)
+            x = _channel_affine(x, rstd1, -m1 * rstd1)
         # +1e-12 inside the sqrt: at v=0 (clamped one-pass variance of a
         # near-constant channel) sqrt's backward is inf and inf*0 from the
         # clamp's zero cotangent poisons the whole update with NaN; the
         # offset (std error <=1e-6) keeps the gradient finite
         style_1 = jnp.concatenate([m1, jnp.sqrt(v1 + 1e-12)], axis=-1)  # (B, 2*inputs) f32
-        rstd1 = jax.lax.rsqrt(v1 + 1e-5)
-        x = _channel_affine(x, rstd1, -m1 * rstd1)
         if self.last:
             # NB the reference does NOT add bias_2 on the dense path (net.py:103-108)
             x = LreqDense(self.outputs, name="dense",
@@ -152,12 +174,16 @@ class EncodeBlock(nn.Module):
             x = LreqConv2d(self.outputs, 3, 1, 1, use_bias=False, name="conv_2",
                            dtype=self.dtype)(blur3x3(x))
             x = downscale2d(x)
-        x = x + self.param("bias_2", nn.initializers.zeros, (self.outputs,)).astype(self.dtype)
-        x = nn.leaky_relu(x, 0.2)
-        m2, v2 = _moments(x)
+        bias_2 = self.param("bias_2", nn.initializers.zeros, (self.outputs,))
+        if _fused_norm_on(self.fused_norm):
+            x, m2, v2 = fused_bias_act_norm(x, bias_2, mode="plain", eps=1e-5)
+        else:
+            x = x + bias_2.astype(self.dtype)
+            x = nn.leaky_relu(x, 0.2)
+            m2, v2 = _moments(x)
+            rstd2 = jax.lax.rsqrt(v2 + 1e-5)
+            x = _channel_affine(x, rstd2, -m2 * rstd2)
         style_2 = jnp.concatenate([m2, jnp.sqrt(v2 + 1e-12)], axis=-1)
-        rstd2 = jax.lax.rsqrt(v2 + 1e-5)
-        x = _channel_affine(x, rstd2, -m2 * rstd2)
         w1 = LreqDense(self.latent_size, name="style_1")(style_1)
         w2 = LreqDense(self.latent_size, name="style_2")(style_2)
         return x, w1, w2
@@ -173,6 +199,36 @@ class DecodeBlock(nn.Module):
     fused_scale: bool = True
     layer: int = 0
     dtype: Any = jnp.float32  # conv-path compute dtype; style heads stay f32
+    fused_norm: Optional[bool] = None  # None = auto (Pallas kernel on TPU)
+
+    def _styled_norm(self, x: Array, style_w: Array, nw: Array, bias: Array,
+                     rng: Optional[Array], noise_mode: str) -> Array:
+        """inject + bias + leaky_relu + IN + AdaIN (net.py:160-181) — a
+        single Pallas pass-pair on TPU, the jnp composition elsewhere.
+        The fused path draws noise in f32 (the jnp path draws in the
+        compute dtype): identical at f32 configs, distribution-identical
+        at bf16."""
+        g = style_w[:, 0] + 1.0
+        bst = style_w[:, 1]
+        if _fused_norm_on(self.fused_norm):
+            if noise_mode == "none":
+                x, _, _ = fused_bias_act_norm(
+                    x, bias, g=g, b=bst, mode="corr", eps=1e-8,
+                    corr_scale=math.pow(self.layer + 1, 0.5))
+            else:
+                bn = 1 if noise_mode == "batch_constant" else x.shape[0]
+                n = jax.random.normal(rng, (bn, x.shape[1], x.shape[2], 1),
+                                      jnp.float32)[..., 0]
+                n = jnp.broadcast_to(n, (x.shape[0],) + x.shape[1:3])
+                x, _, _ = fused_bias_act_norm(x, bias, g=g, b=bst, n=n, nw=nw,
+                                              mode="noise", eps=1e-8)
+            return x
+        x = self._inject(x, nw, rng, noise_mode)
+        x = x + bias.astype(self.dtype)
+        x = nn.leaky_relu(x, 0.2)
+        m, v = _moments(x)
+        a = jax.lax.rsqrt(v + 1e-8) * g
+        return _channel_affine(x, a, bst - m * a)
 
     def _inject(self, x: Array, weight: Array, rng: Optional[Array], noise_mode: str) -> Array:
         if noise_mode == "none":
@@ -204,29 +260,20 @@ class DecodeBlock(nn.Module):
             x = blur3x3(x)
         r1, r2 = (jax.random.split(rng) if rng is not None else (None, None))
         nw1 = self.param("noise_weight_1", nn.initializers.zeros, (self.outputs,))
-        x = self._inject(x, nw1, r1, noise_mode)
-        x = x + self.param("bias_1", nn.initializers.zeros, (self.outputs,)).astype(self.dtype)
-        x = nn.leaky_relu(x, 0.2)
+        bias_1 = self.param("bias_1", nn.initializers.zeros, (self.outputs,))
         # IN (eps=1e-8) + AdaIN (net.py:169-181) folded into one per-channel
-        # affine y = x*a + b: a = rstd*(s0+1), b = s1 - m*a — one elementwise
-        # pass over the activation instead of normalize-then-modulate
+        # affine y = x*a + b: a = rstd*(s0+1), b = s1 - m*a
         w1 = LreqDense(2 * self.outputs, gain=1.0, name="style_1")(s1)
         w1 = w1.reshape(w1.shape[0], 2, self.outputs)
-        m, v = _moments(x)
-        a = jax.lax.rsqrt(v + 1e-8) * (w1[:, 0] + 1.0)
-        x = _channel_affine(x, a, w1[:, 1] - m * a)
+        x = self._styled_norm(x, w1, nw1, bias_1, r1, noise_mode)
 
         x = LreqConv2d(self.outputs, 3, 1, 1, use_bias=False, name="conv_2",
                        dtype=self.dtype)(x)
         nw2 = self.param("noise_weight_2", nn.initializers.zeros, (self.outputs,))
-        x = self._inject(x, nw2, r2, noise_mode)
-        x = x + self.param("bias_2", nn.initializers.zeros, (self.outputs,)).astype(self.dtype)
-        x = nn.leaky_relu(x, 0.2)
+        bias_2 = self.param("bias_2", nn.initializers.zeros, (self.outputs,))
         w2 = LreqDense(2 * self.outputs, gain=1.0, name="style_2")(s2)
         w2 = w2.reshape(w2.shape[0], 2, self.outputs)
-        m, v = _moments(x)
-        a = jax.lax.rsqrt(v + 1e-8) * (w2[:, 0] + 1.0)
-        x = _channel_affine(x, a, w2[:, 1] - m * a)
+        x = self._styled_norm(x, w2, nw2, bias_2, r2, noise_mode)
         return x
 
 
@@ -266,6 +313,7 @@ class StyleEncoder(nn.Module):
     with_fc_head: bool = False      # EncoderWithFC variant (net.py:322-409)
     last_block_dense: bool = False  # EncoderWithStatistics variant (net.py:412-497)
     dtype: Any = jnp.float32        # conv-path compute dtype
+    fused_norm: Optional[bool] = None
 
     def setup(self):
         mul = 2
@@ -279,7 +327,7 @@ class StyleEncoder(nn.Module):
             blocks.append(EncodeBlock(inputs, outputs, self.latent_size,
                                       last=last_dense and i == self.layer_count - 1,
                                       fused_scale=resolution >= 128, name=f"block_{i}",
-                                      dtype=self.dtype))
+                                      dtype=self.dtype, fused_norm=self.fused_norm))
             resolution //= 2
             inputs = outputs
             mul *= 2
@@ -331,6 +379,7 @@ class StyleGenerator(nn.Module):
     latent_size: int = 128
     channels: int = 3
     dtype: Any = jnp.float32  # conv-path compute dtype
+    fused_norm: Optional[bool] = None
 
     @property
     def layer_to_resolution(self):
@@ -347,7 +396,8 @@ class StyleGenerator(nn.Module):
             blocks.append(DecodeBlock(inputs, outputs, self.latent_size,
                                       has_first_conv=i != 0,
                                       fused_scale=resolution * 2 >= 128,
-                                      layer=i, name=f"block_{i}", dtype=self.dtype))
+                                      layer=i, name=f"block_{i}", dtype=self.dtype,
+                                      fused_norm=self.fused_norm))
             resolution *= 2
             to_rgb.append(ToRGB(self.channels, name=f"to_rgb_{i}", dtype=self.dtype))
             inputs = outputs

@@ -56,6 +56,9 @@ class StyleModelConfig:
     # activations in backward — the memory lever for 512px+/large-batch
     # runs (256px bs=64 bf16 otherwise needs 23 GiB vs the 15.75 GiB v5e HBM)
     remat: bool = False
+    # Pallas fused inject+bias+lrelu+IN(+AdaIN) kernel (ops/adain_pallas.py);
+    # None = auto: on when running on TPU, off on the CPU test mesh
+    fused_norm: Optional[bool] = None
 
 
 class StyleModel:
@@ -70,7 +73,8 @@ class StyleModel:
         self.num_layers = 2 * mc.layer_count
         dtype = jnp.bfloat16 if mc.compute_dtype == "bfloat16" else jnp.float32
         kw = dict(startf=mc.startf, maxf=mc.maxf, layer_count=mc.layer_count,
-                  latent_size=mc.latent_size, channels=mc.channels, dtype=dtype)
+                  latent_size=mc.latent_size, channels=mc.channels, dtype=dtype,
+                  fused_norm=mc.fused_norm)
         if mc.encoder_variant not in ("EncoderDefault", "EncoderWithStatistics", "EncoderWithFC"):
             raise ValueError(f"unknown MODEL.ENCODER {mc.encoder_variant!r}")
         self.encoder = StyleEncoder(
