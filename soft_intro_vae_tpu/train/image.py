@@ -78,6 +78,14 @@ class ImageConfig:
     # v5e — see BENCH_NOTES.md). 1 = one launch per step (reference cadence).
     scan_steps: int = 1
     synthetic_fallback: bool = True
+    # sub-epoch NaN abort cadence: every N iterations fetch the LAST step's
+    # device metrics (one small host sync) and abort on nonfinite. The
+    # reference aborts per iteration (train_soft_intro_vae.py:625-626) but
+    # pays a host sync each step; this bounds a diverged run to ~N steps of
+    # wasted chip time while keeping the hot loop sync-free. The epoch-mean
+    # check still catches anything in between (NaN propagates through means).
+    # 0 disables.
+    nan_check_iter: int = 200
     verbose: bool = True
 
 
@@ -317,6 +325,11 @@ def train_soft_intro_vae(cfg: ImageConfig, dataset: Optional[ArrayDataset] = Non
                                      or (cur_iter + k - 1) // cfg.test_iter != (cur_iter - 1) // cfg.test_iter):
                 grid_x = np.asarray(x)[0] if cfg.scan_steps > 1 else np.asarray(x)
                 _save_sample_grid(enc, dec, state, grid_x, cfg, cur_iter)
+            if (cfg.nan_check_iter and
+                    (cur_iter + k - 1) // cfg.nan_check_iter != (cur_iter - 1) // cfg.nan_check_iter):
+                last = jax.device_get(m)
+                if any(not np.all(np.isfinite(v)) for v in last.values()):
+                    raise SystemError("loss is NaN")
             cur_iter += k
 
         # one host sync per epoch

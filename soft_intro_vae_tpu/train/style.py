@@ -422,6 +422,14 @@ def train_style_soft_intro_vae(cfg: StyleConfig, dataset: Optional[MultiResImage
                                "epoch_completed": False})
             if cfg.save_figures and lod2batch.is_time_to_report():
                 _save_style_samples(model, cfg, state, lod, epoch, lod2batch.iteration)
+            # sub-epoch NaN abort: one small host sync every 200 iterations
+            # bounds a diverged run to ~200 steps of chip time (the reference
+            # aborts per-iteration at a sync per step; the epoch-mean check
+            # below still catches anything in between)
+            if len(device_metrics) % 200 == 0:
+                last = jax.device_get(m)
+                if any(not np.all(np.isfinite(v)) for v in last.values()):
+                    raise SystemError("loss is NaN")
 
         if not device_metrics:
             raise ValueError(

@@ -207,6 +207,12 @@ def train_soft_intro_vae_3d(cfg: ThreeDConfig):
             x = pmesh.shard_batch(jnp.asarray(x), mesh)
             state, m = step_fn(state, x)
             device_metrics.append(m)
+            # sub-epoch NaN abort (see train/image.py nan_check_iter): a
+            # small host sync every 200 steps bounds diverged-run waste
+            if len(device_metrics) % 200 == 0:
+                last = jax.device_get(m)
+                if any(not np.all(np.isfinite(v)) for v in last.values()):
+                    raise SystemError("loss is Nan")
         host = jax.device_get(device_metrics)
         ep_mean = {k: float(np.mean([h[k] for h in host])) for k in host[0]} if host else {}
         tracker.update(ep_mean)

@@ -168,3 +168,19 @@ class TestBootstrapTargetSyncAliasing:
                 assert (sa.data.unsafe_buffer_pointer()
                         != sb.data.unsafe_buffer_pointer())
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestNaNAbort:
+    def test_diverged_run_aborts_mid_epoch(self, tmp_path):
+        # absurd LR drives the losses nonfinite within a few steps; the
+        # sub-epoch nan_check_iter fetch (train/image.py) must abort with the
+        # reference's message (train_soft_intro_vae.py:625-626) well before
+        # the 128-step epoch completes
+        from soft_intro_vae_tpu.train.image import train_soft_intro_vae
+
+        cfg = ImageConfig(dataset="mnist", z_dim=8, batch_size=16, num_epochs=1,
+                          num_vae=0, seed=0, lr_e=1e12, lr_d=1e12,
+                          nan_check_iter=5, result_dir=str(tmp_path / "out"),
+                          synthetic_fallback=True)
+        with pytest.raises(SystemError, match="NaN"):
+            train_soft_intro_vae(cfg)
