@@ -299,7 +299,9 @@ class TestStyleEncoderVariantPlumbing:
             pe, pd, buf = jax.eval_shape(model.init_params, jax.random.key(0))
             x = jax.ShapeDtypeStruct((2, 8, 8, 3), jnp.float32)
             eps = jax.ShapeDtypeStruct((2, 8), jnp.float32)
-            z, mu, logvar = jax.eval_shape(model.encode, pe, x, 1, None, eps)
+            # lod/blend stay static (they select blocks in Python)
+            z, mu, logvar = jax.eval_shape(
+                lambda pe, x, eps: model.encode(pe, x, 1, None, eps), pe, x, eps)
             assert z.shape == (2, 8) and mu.shape == (2, 8)
 
     def test_unknown_variant_raises(self):
