@@ -284,8 +284,19 @@ def _calibrate_random_init(model: "InceptionV3FID", variables: dict) -> dict:
     return {**variables, "batch_stats": batch}
 
 
+# (resolved weights path, resize_input) -> (apply_fn, variables). The
+# Inception init alone costs ~60s of compile on a 1-core host and every
+# trainer/eval entry point calls load_fid_network — memoize per process.
+# variables are immutable device arrays, safe to share; a weights file
+# appearing mid-process needs a new process (or _FID_NETWORK_CACHE.clear()).
+_FID_NETWORK_CACHE: dict = {}
+
+
 def load_fid_network(weights_path: Optional[str] = None, resize_input: bool = True):
     """Returns (apply_fn, variables). apply_fn(x_nhwc_01) -> (B, 2048)."""
+    cache_key = (fid_weights_path(weights_path), resize_input)
+    if cache_key in _FID_NETWORK_CACHE:
+        return _FID_NETWORK_CACHE[cache_key]
     model = InceptionV3FID(resize_input=resize_input)
     dummy = jnp.zeros((1, 299 if not resize_input else 64, 299 if not resize_input else 64, 3))
     variables = model.init(jax.random.key(0), dummy)
@@ -309,6 +320,7 @@ def load_fid_network(weights_path: Optional[str] = None, resize_input: bool = Tr
     # FID evaluation (same bug class as make_training_fid's decode path)
     apply_fn = jax.jit(lambda x: model.apply(variables, x))
 
+    _FID_NETWORK_CACHE[cache_key] = (apply_fn, variables)
     return apply_fn, variables
 
 

@@ -205,7 +205,15 @@ def test_inception_compiles_once_across_fid_calls():
 
     apply_fn, _ = load_fid_network(None)
     rng = np.random.default_rng(0)
+    # load_fid_network memoizes per process, so apply_fn may arrive warm from
+    # earlier tests with other batch shapes — assert on the DELTA: two full
+    # FID passes at one shape add at most one compiled entry
+    n0 = apply_fn._cache_size()
     for _ in range(2):
         compute_statistics_streaming(
             apply_fn, (rng.random((4, 32, 32, 3), np.float32) for _ in range(2)))
-    assert apply_fn._cache_size() == 1, apply_fn._cache_size()
+    n1 = apply_fn._cache_size()
+    assert n1 - n0 <= 1, (n0, n1)
+    # and a second loader call returns the SAME jitted callable (no re-init)
+    apply_fn2, _ = load_fid_network(None)
+    assert apply_fn2 is apply_fn

@@ -143,14 +143,11 @@ def test_kill_and_resume_equals_uninterrupted(tmp_path):
             np.testing.assert_allclose(np.asarray(x), np.asarray(y),
                                        rtol=2e-4, atol=1e-6, err_msg=name)
 
-
-@pytest.mark.slow
-def test_resume_skips_when_complete(tmp_path):
-    cfg = _tiny_cfg(tmp_path / "c", train_epochs=2)
-    state1, _ = train_style_soft_intro_vae(cfg)
-    # rerunning the same config resumes past the end: no epochs execute
-    state2, summary2 = train_style_soft_intro_vae(cfg)
-    assert summary2["epochs_run"] == 0
-    for x, y in zip(jax.tree_util.tree_leaves(state1.params_d),
-                    jax.tree_util.tree_leaves(state2.params_d)):
+    # rerunning a completed config resumes past the end: zero epochs execute
+    # and the state is untouched (folded in here to reuse run B's training
+    # instead of paying another ~90s one)
+    state_c, summary_c = train_style_soft_intro_vae(cfg_b2)
+    assert summary_c["epochs_run"] == 0
+    for x, y in zip(jax.tree_util.tree_leaves(state_b.params_d),
+                    jax.tree_util.tree_leaves(state_c.params_d)):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=1e-6)
