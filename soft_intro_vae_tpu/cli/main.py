@@ -48,6 +48,8 @@ def _common_image_flags(p: argparse.ArgumentParser, gamma_r_default: float):
     p.add_argument("--no-synthetic-fallback", action="store_true",
                    help="fail when the dataset files are absent instead of "
                         "substituting synthetic images")
+    p.add_argument("--synthetic-n", type=int, default=2048,
+                   help="synthetic-fallback dataset size (smoke runs)")
 
 
 def _run_image(args, bootstrap: bool):
@@ -67,6 +69,7 @@ def _run_image(args, bootstrap: bool):
         compute_dtype="bfloat16" if args.bf16 else "float32",
         scan_steps=args.scan_steps,
         synthetic_fallback=not args.no_synthetic_fallback,
+        synthetic_n=args.synthetic_n,
         # reference celeb branches pass is_mirror=True (train_soft_intro_vae.py:392,404,417)
         mirror_augment=args.dataset.startswith("celeb"),
     )

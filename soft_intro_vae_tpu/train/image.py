@@ -78,6 +78,7 @@ class ImageConfig:
     # v5e — see BENCH_NOTES.md). 1 = one launch per step (reference cadence).
     scan_steps: int = 1
     synthetic_fallback: bool = True
+    synthetic_n: int = 2048  # images in the synthetic-fallback dataset
     # sub-epoch NaN abort cadence: every N iterations fetch the LAST step's
     # device metrics (one small host sync) and abort on nonfinite. The
     # reference aborts per iteration (train_soft_intro_vae.py:625-626) but
@@ -214,7 +215,8 @@ def train_soft_intro_vae(cfg: ImageConfig, dataset: Optional[ArrayDataset] = Non
     """Run the image recipe; returns (state, summary dict)."""
     if dataset is None or spec is None:
         spec, dataset = make_dataset(cfg.dataset, cfg.data_root, seed=max(cfg.seed, 0),
-                                     synthetic_fallback=cfg.synthetic_fallback)
+                                     synthetic_fallback=cfg.synthetic_fallback,
+                                     synthetic_n=cfg.synthetic_n)
     from soft_intro_vae_tpu.data.images import SyntheticImages
 
     if jax.process_count() > 1:

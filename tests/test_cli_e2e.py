@@ -40,8 +40,10 @@ def test_image_cli_runs_synthetic(tmp_path, monkeypatch):
     from soft_intro_vae_tpu.cli.main import main
 
     monkeypatch.chdir(tmp_path)
+    # --synthetic-n 128 -> 8 intro steps: the full 2048-image epoch costs
+    # ~23 min on this 1-core host and adds no coverage over 8 steps
     main(["image", "-d", "mnist", "-n", "1", "-z", "8", "-b", "16", "-e", "16",
-          "-s", "1", "--result_dir", str(tmp_path / "out")])
+          "-s", "1", "--synthetic-n", "128", "--result_dir", str(tmp_path / "out")])
     assert os.path.isdir(tmp_path / "out")
 
 
