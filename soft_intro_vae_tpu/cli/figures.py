@@ -266,7 +266,7 @@ def paged_reconstruction_figure(cfg: StyleConfig, ckpt_path: str,
 def interpolation_2_images_figure(cfg: StyleConfig, ckpt_path: str,
                                   samples_dir: str, image_a: str, image_b: str,
                                   out: str, steps: int = 7,
-                                  use_ema: bool = True) -> str:
+                                  use_ema: bool = True, seed: int = 0) -> str:
     """make_recon_figure_interpolation_2_images.py parity: encode two REAL
     images to w space and decode the w-space lerp (width=7 row)."""
     model, state = _load(cfg, ckpt_path)
@@ -278,7 +278,7 @@ def interpolation_2_images_figure(cfg: StyleConfig, ckpt_path: str,
     kh = jnp.linspace(0.0, 1.0, steps)[:, None]
     w = wa[None] * (1 - kh) + wb[None] * kh
     mixed = jnp.repeat(w[:, None, :], model.num_layers, axis=1)
-    rec = _decode_styles(model, state, mixed, lod, use_ema=use_ema)
+    rec = _decode_styles(model, state, mixed, lod, seed=seed, use_ema=use_ema)
     return save_image_grid(_to01(rec), out, nrow=steps)
 
 
@@ -320,15 +320,15 @@ def main(argv=None):
         print(style_mixing_figure(cfg, args.model, args.out, seed=args.seed))
     elif args.command == "recon-multires":
         print(multires_reconstruction_figure(cfg, args.model, args.samples,
-                                             args.out))
+                                             args.out, seed=args.seed))
     elif args.command == "recon-paged":
         print(paged_reconstruction_figure(cfg, args.model, args.samples,
-                                          args.out, seed=args.seed or 1,
+                                          args.out, seed=args.seed,
                                           max_pages=args.max_pages))
     elif args.command == "interpolation-images":
         print(interpolation_2_images_figure(cfg, args.model, args.samples,
                                             args.image_a, args.image_b,
-                                            args.out))
+                                            args.out, seed=args.seed))
 
 
 if __name__ == "__main__":

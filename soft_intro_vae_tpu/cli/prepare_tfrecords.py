@@ -124,6 +124,10 @@ def write_multires_shards_streaming(image_paths: List[str], out_dir: str, name: 
 # asserts, pad/crop specifics, and the exporter's RandomState(123) shuffle
 # (dataset_tool.py:301-303). Labels ride along as '{name}-rNN.labels' (.npy),
 # matching TFRecordExporter.add_labels' sidecar.
+#
+# NB the `_u8` suffix is deliberate: these return (uint8 images, onehot
+# labels) for the TFRecord exporter — NOT the float32-[0,1] unlabeled
+# trainer loaders of the same datasets in data/images.py.
 
 _SHUFFLE_SEED = 123  # TFRecordExporter.choose_shuffled_order
 
@@ -140,7 +144,7 @@ def _onehot(labels: np.ndarray) -> np.ndarray:
     return out
 
 
-def load_mnist(mnist_dir: str) -> tuple:
+def load_mnist_u8(mnist_dir: str) -> tuple:
     """idx3/idx1 gz files -> ((60000,32,32,1) u8 zero-padded from 28, onehot)."""
     import gzip
 
@@ -155,17 +159,17 @@ def load_mnist(mnist_dir: str) -> tuple:
     return images, _onehot(labels)
 
 
-def load_mnistrgb(mnist_dir: str, num_images: int = 1_000_000,
+def load_mnistrgb_u8(mnist_dir: str, num_images: int = 1_000_000,
                   random_seed: int = 123) -> tuple:
     """Random MNIST digit triplets as RGB channels (dataset_tool.py:562-576)."""
-    images, _ = load_mnist(mnist_dir)
+    images, _ = load_mnist_u8(mnist_dir)
     images = images[..., 0]
     rnd = np.random.RandomState(random_seed)
     idx = rnd.randint(images.shape[0], size=(num_images, 3))
     return images[idx].transpose(0, 2, 3, 1), None  # (N,32,32,3)
 
 
-def load_cifar10(cifar10_dir: str) -> tuple:
+def load_cifar10_u8(cifar10_dir: str) -> tuple:
     import pickle
 
     images, labels = [], []
@@ -181,7 +185,7 @@ def load_cifar10(cifar10_dir: str) -> tuple:
     return images, _onehot(labels)
 
 
-def load_cifar100(cifar100_dir: str) -> tuple:
+def load_cifar100_u8(cifar100_dir: str) -> tuple:
     import pickle
 
     with open(os.path.join(cifar100_dir, "train"), "rb") as f:
@@ -193,7 +197,7 @@ def load_cifar100(cifar100_dir: str) -> tuple:
     return images, _onehot(labels)
 
 
-def load_svhn(svhn_dir: str) -> tuple:
+def load_svhn_u8(svhn_dir: str) -> tuple:
     import pickle
 
     images, labels = [], []
@@ -208,7 +212,7 @@ def load_svhn(svhn_dir: str) -> tuple:
     return images.transpose(0, 2, 3, 1), _onehot(labels)
 
 
-def load_celeba(celeba_dir: str, cx: int = 89, cy: int = 121,
+def load_celeba_u8(celeba_dir: str, cx: int = 89, cy: int = 121,
                 expected_images: Optional[int] = 202599) -> tuple:
     """img_align_celeba_png/*.png -> 128x128 center crops at (cx, cy)."""
     import glob
@@ -228,12 +232,12 @@ def load_celeba(celeba_dir: str, cx: int = 89, cy: int = 121,
 
 
 SOURCE_CREATORS = {
-    "mnist": (load_mnist, 5),
-    "mnistrgb": (load_mnistrgb, 5),
-    "cifar10": (load_cifar10, 5),
-    "cifar100": (load_cifar100, 5),
-    "svhn": (load_svhn, 5),
-    "celeba": (load_celeba, 7),
+    "mnist": (load_mnist_u8, 5),
+    "mnistrgb": (load_mnistrgb_u8, 5),
+    "cifar10": (load_cifar10_u8, 5),
+    "cifar100": (load_cifar100_u8, 5),
+    "svhn": (load_svhn_u8, 5),
+    "celeba": (load_celeba_u8, 7),
 }
 
 

@@ -268,8 +268,8 @@ class TFRecordFile:
                 lib.tfr_close(h)
         else:
             for rec in self._records_py():
-                data, shape = _parse_example_py(rec, bytes_key, shape_key)
-                _, label_tuple = _parse_example_py(rec, bytes_key, label_key)
+                data, shape, label_tuple = _parse_example_py(
+                    rec, bytes_key, shape_key, label_key)
                 label = label_tuple[0] if label_tuple else None
                 yield data, shape, label
 
@@ -310,8 +310,27 @@ def _fields_py(buf: bytes) -> Iterator[Tuple[int, int, object, int]]:
             raise IOError(f"unsupported wire type {wt}")
 
 
-def _parse_example_py(rec: bytes, bytes_key: str, shape_key: str):
-    data, shape = b"", None
+def _parse_int64_list(feat) -> tuple:
+    vals = []
+    for f4, wt4, v4, _ in _fields_py(feat):
+        if f4 == 3 and wt4 == 2:  # int64_list
+            for f5, wt5, v5, _ in _fields_py(v4):
+                if f5 == 1 and wt5 == 2:  # packed
+                    j = 0
+                    while j < len(v5):
+                        x, j = _read_varint_py(v5, j)
+                        vals.append(x)
+                elif f5 == 1 and wt5 == 0:
+                    vals.append(v5)
+    return tuple(vals)
+
+
+def _parse_example_py(rec: bytes, bytes_key: str, shape_key: str,
+                      label_key: str | None = None):
+    """One pass over the proto: (data, shape) or (data, shape, labels) when
+    ``label_key`` is given (the examples_with_label path — parsing twice per
+    multi-KB record would double host-side decode time)."""
+    data, shape, label = b"", None, None
     for f, wt, v, _ in _fields_py(rec):
         if f == 1 and wt == 2:  # features
             for f2, wt2, entry, _ in _fields_py(v):
@@ -329,18 +348,11 @@ def _parse_example_py(rec: bytes, bytes_key: str, shape_key: str):
                                     if f5 == 1 and wt5 == 2:
                                         data = v5
                     elif key == shape_key and feat is not None:
-                        for f4, wt4, v4, _ in _fields_py(feat):
-                            if f4 == 3 and wt4 == 2:  # int64_list
-                                vals = []
-                                for f5, wt5, v5, _ in _fields_py(v4):
-                                    if f5 == 1 and wt5 == 2:  # packed
-                                        j = 0
-                                        while j < len(v5):
-                                            x, j = _read_varint_py(v5, j)
-                                            vals.append(x)
-                                    elif f5 == 1 and wt5 == 0:
-                                        vals.append(v5)
-                                shape = tuple(vals)
+                        shape = _parse_int64_list(feat)
+                    elif label_key is not None and key == label_key and feat is not None:
+                        label = _parse_int64_list(feat)
+    if label_key is not None:
+        return data, shape, label
     return data, shape
 
 

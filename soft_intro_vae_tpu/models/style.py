@@ -134,7 +134,7 @@ class EncodeBlock(nn.Module):
     last: bool = False
     fused_scale: bool = True
     dtype: Any = jnp.float32  # conv-path compute dtype; style heads stay f32
-    fused_norm: Optional[bool] = None  # None = auto (Pallas kernel on TPU)
+    fused_norm: Optional[bool] = None  # None = off (A/B in BENCH_NOTES; SIV_FUSED_NORM opts in)
 
     @nn.compact
     def __call__(self, x: Array) -> Tuple[Array, Array, Array]:
@@ -199,7 +199,7 @@ class DecodeBlock(nn.Module):
     fused_scale: bool = True
     layer: int = 0
     dtype: Any = jnp.float32  # conv-path compute dtype; style heads stay f32
-    fused_norm: Optional[bool] = None  # None = auto (Pallas kernel on TPU)
+    fused_norm: Optional[bool] = None  # None = off (A/B in BENCH_NOTES; SIV_FUSED_NORM opts in)
 
     def _styled_norm(self, x: Array, style_w: Array, nw: Array, bias: Array,
                      rng: Optional[Array], noise_mode: str) -> Array:

@@ -203,8 +203,6 @@ def _bwd_pallas(cfg: _Cfg, x, bias, g, n, nw, m, v, dy, dm, dv):
     St = _pick_tile(S, C, max(x.dtype.itemsize, dy.dtype.itemsize))
     # backward streams dy + x in and dx out per tile: halve the tile to keep
     # three double-buffered blocks under VMEM
-    if St > 16 and S // St < 2 * (S // max(St // 2, 16)):
-        pass
     St = max(St // 2, min(S, 16))
     while S % St:
         St //= 2
@@ -415,11 +413,18 @@ def fused_bias_act_norm(
     """
     if mode not in ("plain", "noise", "corr"):
         raise ValueError(f"unknown mode {mode!r}")
+    if interpret is None and not _on_tpu():
+        # documented off-TPU fallback: the pure-jnp composition, NOT the
+        # interpret-mode kernel (which emulates every grid step and is
+        # orders of magnitude slower). Pass interpret=True explicitly to
+        # exercise the kernel itself off-TPU (the parity tests do).
+        return reference_bias_act_norm(x, bias, g=g, b=b, n=n, nw=nw, mode=mode,
+                                       eps=eps, slope=slope, corr_scale=corr_scale)
     B, H, W, C = x.shape
     affine = g is not None
     cfg = _Cfg(mode=mode, affine=affine, eps=float(eps), slope=float(slope),
                corr_scale=float(corr_scale),
-               interpret=(not _on_tpu()) if interpret is None else interpret)
+               interpret=bool(interpret))
     f32 = jnp.float32
     if g is None:
         g = jnp.zeros((B, C), f32)

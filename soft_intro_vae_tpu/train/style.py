@@ -92,8 +92,11 @@ class StyleConfig:
     verbose: bool = True
     resume: bool = True
     buffer_size_mb: int = 200
-    rank: int = 0
-    world_size: int = 1
+    # None = auto: this process's position in the jax runtime
+    # (process_index / process_count). Explicit values always win — set
+    # world_size=1 on a pod to deliberately stream the full dataset per host.
+    rank: Optional[int] = None
+    world_size: Optional[int] = None
     compute_dtype: str = "float32"  # "bfloat16": conv-path activations
     remat: bool = False  # jax.checkpoint subnet forwards (512px+/large-batch)
 
@@ -278,12 +281,12 @@ def make_style_dataset(cfg: StyleConfig):
     if cfg.dataset_path and "%" in cfg.dataset_path:
         from soft_intro_vae_tpu.data.streaming import StreamingTFRecords
 
-        # rank/world_size default to this process's position in the jax
-        # runtime (launcher.py:26-29 equivalent — no launcher needed, every
-        # host runs the same program); explicit config values win.
-        rank, world = cfg.rank, cfg.world_size
-        if world == 1 and jax.process_count() > 1:
-            rank, world = jax.process_index(), jax.process_count()
+        # rank/world_size None = this process's position in the jax runtime
+        # (launcher.py:26-29 equivalent — no launcher needed, every host runs
+        # the same program); explicit config values always win, including an
+        # explicit world_size=1 on a multi-process pod.
+        world = cfg.world_size if cfg.world_size is not None else jax.process_count()
+        rank = cfg.rank if cfg.rank is not None else jax.process_index()
         return StreamingTFRecords(
             cfg.dataset_path, part_count=cfg.part_count, dataset_size=cfg.dataset_size,
             max_resolution_level=cfg.max_resolution_level, rank=rank,

@@ -57,7 +57,8 @@ class StyleModelConfig:
     # runs (256px bs=64 bf16 otherwise needs 23 GiB vs the 15.75 GiB v5e HBM)
     remat: bool = False
     # Pallas fused inject+bias+lrelu+IN(+AdaIN) kernel (ops/adain_pallas.py);
-    # None = auto: on when running on TPU, off on the CPU test mesh
+    # None = OFF — the measured A/B shows XLA's own fusion wins on current
+    # TPUs (BENCH_NOTES.md); True / SIV_FUSED_NORM=1 opts in for re-evaluation
     fused_norm: Optional[bool] = None
 
 

@@ -12,10 +12,10 @@ import pytest
 from soft_intro_vae_tpu.cli.prepare_tfrecords import (
     SOURCE_CREATORS,
     create_from_source,
-    load_cifar10,
-    load_mnist,
-    load_mnistrgb,
-    load_svhn,
+    load_cifar10_u8,
+    load_mnist_u8,
+    load_mnistrgb_u8,
+    load_svhn_u8,
 )
 from soft_intro_vae_tpu.data.tfrecords import TFRecordFile, _parse_example_py
 
@@ -33,7 +33,7 @@ def _write_mnist(d):
 @pytest.mark.slow
 def test_load_mnist_pads_to_32(tmp_path):
     _write_mnist(str(tmp_path))
-    images, onehot = load_mnist(str(tmp_path))
+    images, onehot = load_mnist_u8(str(tmp_path))
     assert images.shape == (60000, 32, 32, 1)
     assert images[0, 2, 2, 0] == 255 and images[0, 0, 0, 0] == 0
     assert onehot.shape == (60000, 10) and onehot[3, 3] == 1.0
@@ -42,7 +42,7 @@ def test_load_mnist_pads_to_32(tmp_path):
 @pytest.mark.slow
 def test_load_mnistrgb_triplets(tmp_path):
     _write_mnist(str(tmp_path))
-    images, labels = load_mnistrgb(str(tmp_path), num_images=16)
+    images, labels = load_mnistrgb_u8(str(tmp_path), num_images=16)
     assert images.shape == (16, 32, 32, 3) and labels is None
 
 
@@ -55,7 +55,7 @@ def test_load_cifar10_batches(tmp_path):
                 "labels": list(rng.randint(0, 10, 10000))}
         with open(tmp_path / f"data_batch_{batch}", "wb") as f:
             pickle.dump(data, f)
-    images, onehot = load_cifar10(str(tmp_path))
+    images, onehot = load_cifar10_u8(str(tmp_path))
     assert images.shape == (50000, 32, 32, 3) and onehot.shape == (50000, 10)
     # CHW -> HWC transpose round-trips the flat layout
     flat = images[0].transpose(2, 0, 1).reshape(-1)
@@ -84,7 +84,7 @@ def test_create_from_source_svhn_end_to_end(tmp_path):
     labels = np.load(out / "svhn-r05.labels.npy")
     assert labels.shape == (6, 10)
     # shuffled order is the exporter's RandomState(123) permutation
-    images, onehot = load_svhn(str(src))
+    images, onehot = load_svhn_u8(str(src))
     order = np.arange(6)
     np.random.RandomState(123).shuffle(order)
     recs = list(TFRecordFile(str(out / "svhn-r05.tfrecords.000")).records())

@@ -28,6 +28,7 @@ RECIPE = {"dataset": "8Gaussians", "beta_kl": 0.3, "beta_rec": 0.2,
 
 def run_ref(seeds, out_json):
     """Import the reference trainer and run its recipe per seed (torch CPU)."""
+    out_json = os.path.abspath(out_json)  # we chdir below; keep --out honest
     import matplotlib
 
     matplotlib.use("Agg")

@@ -54,13 +54,8 @@ def main():
         ca = ca[0]
     print("flops=%.3g bytes=%.3g" % (ca.get("flops", 0), ca.get("bytes accessed", 0)))
 
-    # count top-level fusions/ops and their output sizes
+    # count top-level fusions/ops by kind
     big = Counter()
-    # match top-level instructions in ENTRY and computation roots: look at all
-    # `fusion(`, `convolution(`, `rng`, `reduce(` occurrences with shapes
-    for m in re.finditer(r"^\s*(?:ROOT )?%?[\w.-]+ = (\w+)\[([\d,]*)\]", txt, re.M):
-        op = m.group(0)
-        kind = re.search(r"= (\w+)\[", op)
     for line in txt.splitlines():
         mm = re.search(r"= ((?:bf16|f32|u32|s32|pred)\[[\d,]*\][^ ]*) (fusion|convolution|custom-call|reduce|rng-bit-generator|all-reduce)\(", line)
         if mm:

@@ -151,9 +151,12 @@ def job_cifar_fid(weights, cifar_dir):
     assert arr is not None
     apply_fn, _ = load_fid_network(weights)
 
+    # load_cifar10 already returns float32 in [0, 1] (data/images.py) — do
+    # NOT divide by 255 again or Inception sees near-black images and the
+    # split-half gate stops validating the real-range pipeline
     def batches(lo, hi, bs=50):
         for i in range(lo, hi, bs):
-            yield arr[i: i + bs].astype(np.float32) / 255.0
+            yield arr[i: i + bs].astype(np.float32)
 
     mu_a, sig_a = compute_statistics_streaming(apply_fn, batches(0, 5000))
     mu_b, sig_b = compute_statistics_streaming(apply_fn, batches(5000, 10000))
