@@ -45,9 +45,31 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(DATA_AXIS))
 
 
+def _is_prng_key(x: Any) -> bool:
+    return isinstance(x, jax.Array) and jax.dtypes.issubdtype(x.dtype, jax.dtypes.prng_key)
+
+
 def shard_state(state: Any, mesh: Mesh) -> Any:
-    """Place a TrainState (or any pytree) fully replicated on the mesh."""
-    return jax.device_put(state, replicated(mesh))
+    """Place a TrainState (or any pytree) fully replicated on the mesh.
+
+    On a multi-controller mesh (real multi-host, or the 2-process CPU test
+    rig) ``jax.device_put`` cannot target non-addressable devices, so each
+    process contributes the full (identical, seeded) value via
+    ``jax.make_array_from_process_local_data``; typed PRNG keys round-trip
+    through their raw key data."""
+    sh = replicated(mesh)
+    local = {d.id for d in jax.local_devices()}
+    if jax.process_count() > 1 and any(d.id not in local for d in mesh.devices.flat):
+
+        def put(x):
+            if _is_prng_key(x):
+                data = np.asarray(jax.random.key_data(x))
+                g = jax.make_array_from_process_local_data(sh, data)
+                return jax.random.wrap_key_data(g, impl=jax.random.key_impl(x))
+            return jax.make_array_from_process_local_data(sh, np.asarray(x))
+
+        return jax.tree_util.tree_map(put, state)
+    return jax.device_put(state, sh)
 
 
 def _place(batch: Any, sharding: NamedSharding) -> Any:

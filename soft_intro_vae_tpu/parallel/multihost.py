@@ -41,6 +41,13 @@ def host_shard_info() -> tuple[int, int]:
     return jax.process_index(), jax.process_count()
 
 
+def is_primary() -> bool:
+    """True on the host that owns side-effect outputs (checkpoints, plots,
+    results logs) — the analog of the reference's ``local_rank == 0`` gates
+    (train_style_soft_intro_vae.py:207-218,287-299)."""
+    return jax.process_index() == 0
+
+
 def per_host_slice(n_items: int) -> slice:
     """Contiguous per-host slice of a dataset of n_items."""
     rank, world = host_shard_info()

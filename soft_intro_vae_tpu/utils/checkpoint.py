@@ -101,15 +101,23 @@ class Checkpointer:
         return os.path.join(self.directory, name)
 
     def save(self, state: Any, epoch: int, iteration: int, tag: str = "", extra: Optional[dict] = None,
-             async_save: bool = False, aux: Optional[dict] = None) -> str:
+             async_save: bool = False, aux: Optional[dict] = None, all_hosts: bool = False) -> str:
         """``aux`` is JSON-serializable host-side training state (tracker
         history, best FID, ...) written to a ``.aux.json`` sidecar — the
         analog of the reference Checkpointer's auxiliary dict
-        (checkpointer.py:23-36 saves scheduler/tracker beside the models)."""
+        (checkpointer.py:23-36 saves scheduler/tracker beside the models).
+
+        In a multi-process runtime only process 0 writes (states are
+        replicated, so every host would serialize identical bytes — the
+        reference's rank-0 EMA/snapshot gating, train_style_soft_intro_vae
+        .py:207-218); pass ``all_hosts=True`` to opt out, e.g. when each
+        host has private local storage."""
         import copy
         import json
 
         path = self._path(epoch, iteration, tag)
+        if not all_hosts and jax.process_index() != 0:
+            return path
         host_state = _to_host(state)  # snapshot before returning
         # snapshot aux too: callers pass live tracker state that later epochs
         # mutate while an async save is still serializing
