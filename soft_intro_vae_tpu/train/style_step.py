@@ -198,11 +198,19 @@ def _ema_update(ema, online, beta):
     return jax.tree_util.tree_map(lambda e, p: e + (p - e) * (1.0 - beta), ema, online)
 
 
-def build_style_steps(model: StyleModel, cfg: StyleStepConfig, lod: int, blended: bool, optimizer):
+def build_style_steps(model: StyleModel, cfg: StyleStepConfig, lod: int, blended: bool, optimizer,
+                      noise_mode: str = "batch"):
     """(vanilla_step, intro_step) for one (lod, in_transition) pair.
 
     step(state, x, blend) -> (state', metrics). ``blend`` is traced; pass 1.0
     on the stable path (``blended=False`` compiles the no-blend program).
+
+    ``noise_mode`` selects the decoder B-noise path ("batch" = fresh randn per
+    call, the reference trainer's ``noise=True``; "none" = the deterministic
+    correction term, net.py:176-178). Steps also take an optional ``nz`` dict
+    of injected eps/z tensors (keys as drawn below) for golden-parity tests
+    against a torch twin — when given, no latent noise is drawn from the
+    state rng.
     """
 
     def _b(blend):
@@ -212,14 +220,15 @@ def build_style_steps(model: StyleModel, cfg: StyleStepConfig, lod: int, blended
         k = jax.random.fold_in(state.rng, state.step)
         return jax.random.split(k, n)
 
-    def vanilla_step(state: StyleTrainState, x: Array, blend: Array):
+    def vanilla_step(state: StyleTrainState, x: Array, blend: Array, nz=None):
         ks = _keys(state, 2)
-        eps = jax.random.normal(ks[0], (x.shape[0], cfg.latent_size), jnp.float32)
+        eps = (jax.random.normal(ks[0], (x.shape[0], cfg.latent_size), jnp.float32)
+               if nz is None else nz["eps_real"])
 
         def loss_fn(params_e, params_d):
             z, mu, logvar = model.encode(params_e, x, lod, _b(blend), eps)
             rec, buffers = model.generate(params_d, state.buffers, ks[1], lod, _b(blend), z,
-                                          mixing=False)
+                                          mixing=False, noise_mode=noise_mode)
             loss_rec = reconstruction_loss(x, rec, "mse", "mean")
             loss_kl = kl_divergence(mu, logvar, reduce="mean")
             loss = cfg.beta_rec * loss_rec + cfg.beta_kl * loss_kl  # unscaled (:317)
@@ -234,37 +243,42 @@ def build_style_steps(model: StyleModel, cfg: StyleStepConfig, lod: int, blended
         new_state = _finish(state, params_e, params_d, aux["buffers"], opt_e, opt_d)
         return new_state, dict(loss_e=loss, loss_d=loss, rec_loss=aux["rec"], real_kl=aux["kl"])
 
-    def intro_step(state: StyleTrainState, x: Array, blend: Array):
+    def intro_step(state: StyleTrainState, x: Array, blend: Array, nz=None):
         b = x.shape[0]
         ks = _keys(state, 16)
-        eps_real = jax.random.normal(ks[0], (b, cfg.latent_size), jnp.float32)
-        eps_e_rec = jax.random.normal(ks[1], (b, cfg.latent_size), jnp.float32)
-        eps_e_fake = jax.random.normal(ks[2], (b, cfg.latent_size), jnp.float32)
-        eps_d_rec = jax.random.normal(ks[3], (b, cfg.latent_size), jnp.float32)
-        eps_d_fake = jax.random.normal(ks[4], (b, cfg.latent_size), jnp.float32)
-        # the style reference draws FRESH prior noise per phase: each
-        # model.generate() call samples its own z (model.py:173-174), unlike
-        # the image variant's shared noise_batch
-        z_noise = jax.random.normal(ks[5], (b, cfg.latent_size), jnp.float32)
-        z_noise_d = jax.random.normal(ks[10], (b, cfg.latent_size), jnp.float32)
+        if nz is None:
+            eps_real = jax.random.normal(ks[0], (b, cfg.latent_size), jnp.float32)
+            eps_e_rec = jax.random.normal(ks[1], (b, cfg.latent_size), jnp.float32)
+            eps_e_fake = jax.random.normal(ks[2], (b, cfg.latent_size), jnp.float32)
+            eps_d_rec = jax.random.normal(ks[3], (b, cfg.latent_size), jnp.float32)
+            eps_d_fake = jax.random.normal(ks[4], (b, cfg.latent_size), jnp.float32)
+            # the style reference draws FRESH prior noise per phase: each
+            # model.generate() call samples its own z (model.py:173-174), unlike
+            # the image variant's shared noise_batch
+            z_noise = jax.random.normal(ks[5], (b, cfg.latent_size), jnp.float32)
+            z_noise_d = jax.random.normal(ks[10], (b, cfg.latent_size), jnp.float32)
+        else:
+            eps_real, eps_e_rec, eps_e_fake = nz["eps_real"], nz["eps_e_rec"], nz["eps_e_fake"]
+            eps_d_rec, eps_d_fake = nz["eps_d_rec"], nz["eps_d_fake"]
+            z_noise, z_noise_d = nz["noise"], nz["noise_d"]
 
         # ===== E phase (model.py:215-263) =====
         def lossE_fn(params_e):
             buffers = state.buffers
             fake, buffers = model.generate(state.params_d, buffers, ks[6], lod, _b(blend),
-                                           z_noise, mixing=True)
+                                           z_noise, mixing=True, noise_mode=noise_mode)
             z_real, mu, logvar = model.encode(params_e, x, lod, _b(blend), eps_real)
             rec, buffers = model.generate(state.params_d, buffers, ks[7], lod, _b(blend),
-                                          z_real, mixing=False)
+                                          z_real, mixing=False, noise_mode=noise_mode)
             loss_rec = reconstruction_loss(x, rec, "mse", "mean")
             kl_real = kl_divergence(mu, logvar, reduce="mean")
 
             z_rec, rmu, rlv = model.encode(params_e, sg(rec), lod, _b(blend), eps_e_rec)
             rec_rec, buffers = model.generate(state.params_d, buffers, ks[8], lod, _b(blend),
-                                              z_rec, mixing=False)
+                                              z_rec, mixing=False, noise_mode=noise_mode)
             z_fake, fmu, flv = model.encode(params_e, sg(fake), lod, _b(blend), eps_e_fake)
             rec_fake, buffers = model.generate(state.params_d, buffers, ks[9], lod, _b(blend),
-                                               z_fake, mixing=False)
+                                               z_fake, mixing=False, noise_mode=noise_mode)
             kl_rec = kl_divergence(rmu, rlv, reduce="none")
             kl_fake = kl_divergence(fmu, flv, reduce="none")
             rr = per_sample_recon(rec, rec_rec, "mse")       # rec NOT detached (:244)
@@ -285,16 +299,16 @@ def build_style_steps(model: StyleModel, cfg: StyleStepConfig, lod: int, blended
         def lossD_fn(params_d):
             buffers = auxE["buffers"]
             fake, buffers = model.generate(params_d, buffers, ks[11], lod, _b(blend),
-                                           z_noise_d, mixing=True)
+                                           z_noise_d, mixing=True, noise_mode=noise_mode)
             rec, buffers = model.generate(params_d, buffers, ks[12], lod, _b(blend),
-                                          sg(auxE["z_real"]), mixing=False)
+                                          sg(auxE["z_real"]), mixing=False, noise_mode=noise_mode)
             loss_rec = reconstruction_loss(x, rec, "mse", "mean")
             z_rec, rmu, rlv = model.encode(params_e, rec, lod, _b(blend), eps_d_rec)
             z_fake, fmu, flv = model.encode(params_e, fake, lod, _b(blend), eps_d_fake)
             rec_rec, buffers = model.generate(params_d, buffers, ks[13], lod, _b(blend),
-                                              sg(z_rec), mixing=False)
+                                              sg(z_rec), mixing=False, noise_mode=noise_mode)
             rec_fake, buffers = model.generate(params_d, buffers, ks[14], lod, _b(blend),
-                                               sg(z_fake), mixing=False)
+                                               sg(z_fake), mixing=False, noise_mode=noise_mode)
             loss_rec_rec = reconstruction_loss(sg(rec), rec_rec, "mse", "mean")
             loss_fake_rec = reconstruction_loss(sg(fake), rec_fake, "mse", "mean")
             kl_rec = kl_divergence(rmu, rlv, reduce="mean")
