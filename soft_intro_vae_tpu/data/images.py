@@ -162,6 +162,124 @@ def load_image_folder(
     return out
 
 
+class FolderDataset:
+    """Out-of-core folder-of-images dataset: holds file paths, decodes per batch.
+
+    The reference trains celeb256/celeb1024 from disk via DataLoader workers
+    over ImageDatasetFromFile (/root/reference/soft_intro_vae/dataset.py:50-93,
+    train_soft_intro_vae.py:458). ``load_image_folder`` materializes the whole
+    folder as float32 — fine for small sets, impossible at reference scale
+    (celeb1024 ~30k images = 377 GiB f32). This class keeps host RAM at batch
+    scale: a small thread pool decodes each shuffled index batch (PIL releases
+    the GIL around decode/resize), and the trainers' ``device_prefetch``
+    overlaps the next batch's decode+H2D with the running step.
+
+    Iteration interface and (seed, epoch_index) determinism match
+    ``ArrayDataset.epoch`` exactly, so every trainer accepts either.
+    """
+
+    def __init__(self, files, output_size: int, input_size: Optional[int] = None,
+                 crop_size: Optional[int] = None, seed: int = 0, augment_fn=None,
+                 workers: int = 8):
+        from PIL import Image  # hard requirement for a folder dataset
+
+        self._Image = Image
+        self.files = list(files)
+        if not self.files:
+            raise ValueError("FolderDataset: empty file list")
+        self.output_size = output_size
+        self.input_size = input_size
+        self.crop_size = crop_size
+        self._seed = seed
+        self.rng = np.random.default_rng(seed)
+        self.augment_fn = augment_fn
+        self._workers = max(1, workers)
+        self._pool = None  # lazily created; kept for the dataset's lifetime
+
+    def __len__(self) -> int:
+        return len(self.files)
+
+    def _decode(self, path: str) -> np.ndarray:
+        """One image -> (H, W, 3) float32 in [0,1] (ImageDatasetFromFile
+        semantics: RGB convert, optional resize-to-input, optional center
+        crop, bicubic resize to output)."""
+        Image = self._Image
+        img = Image.open(path).convert("RGB")
+        if self.input_size:
+            img = img.resize((self.input_size, self.input_size), Image.BICUBIC)
+        if self.crop_size:
+            w, h = img.size
+            left, top = (w - self.crop_size) // 2, (h - self.crop_size) // 2
+            img = img.crop((left, top, left + self.crop_size, top + self.crop_size))
+        if img.size != (self.output_size, self.output_size):
+            img = img.resize((self.output_size, self.output_size), Image.BICUBIC)
+        return np.asarray(img, np.float32) / 255.0
+
+    def _ensure_pool(self):
+        if self._pool is None and self._workers > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._pool = ThreadPoolExecutor(max_workers=self._workers,
+                                            thread_name_prefix="folder-decode")
+        return self._pool
+
+    def epoch(self, batch_size: int, shuffle: bool = True, drop_last: bool = False,
+              epoch_index: Optional[int] = None) -> Iterator[np.ndarray]:
+        """Decode-on-demand epoch stream; seeding semantics identical to
+        ``ArrayDataset.epoch`` (replay-identical resume)."""
+        n = len(self)
+        rng = self.rng if epoch_index is None else np.random.default_rng((self._seed, epoch_index))
+        idx = rng.permutation(n) if shuffle else np.arange(n)
+        end = n - (n % batch_size) if drop_last else n
+        pool = self._ensure_pool()
+        for i in range(0, end, batch_size):
+            paths = [self.files[j] for j in idx[i : i + batch_size]]
+            imgs = list(pool.map(self._decode, paths)) if pool else [self._decode(p) for p in paths]
+            batch = np.stack(imgs)
+            if self.augment_fn is not None:
+                batch = self.augment_fn(batch, rng)
+            yield batch
+
+
+def open_image_folder(
+    root: str,
+    output_size: int,
+    input_size: Optional[int] = None,
+    crop_size: Optional[int] = None,
+    seed: int = 0,
+    augment_fn=None,
+    max_resident_bytes: Optional[int] = None,
+    limit: Optional[int] = None,
+):
+    """Folder loader that picks residency by size: small folders are decoded
+    once into an in-RAM ``ArrayDataset`` (fastest epoch iteration), folders
+    whose float32 footprint exceeds ``max_resident_bytes`` (default 4 GiB;
+    env SIV_MAX_RESIDENT_BYTES overrides; 0 forces out-of-core) stream
+    through ``FolderDataset``. Returns None when the folder is absent/empty."""
+    try:
+        from PIL import Image  # noqa: F401
+    except ImportError:
+        return None
+    if not os.path.isdir(root):
+        return None
+    exts = (".jpg", ".png", ".jpeg", ".bmp")
+    files = sorted(x for x in os.listdir(root) if x.lower().endswith(exts))
+    if limit:
+        files = files[:limit]
+    if not files:
+        return None
+    if max_resident_bytes is None:
+        max_resident_bytes = int(os.environ.get("SIV_MAX_RESIDENT_BYTES", 4 << 30))
+    f32_bytes = len(files) * output_size * output_size * 3 * 4
+    paths = [os.path.join(root, f) for f in files]
+    if f32_bytes > max_resident_bytes:
+        return FolderDataset(paths, output_size, input_size=input_size,
+                             crop_size=crop_size, seed=seed, augment_fn=augment_fn)
+    arr = load_image_folder(root, output_size, input_size=input_size,
+                            crop_size=crop_size, limit=limit, seed=seed)
+    return ArrayDataset(arr, seed=seed, augment_fn=augment_fn) if arr is not None else None
+
+
 def augment_mirror(batch: np.ndarray, rng: np.random.Generator) -> np.ndarray:
     """Random horizontal flip per image (dataset.py is_mirror semantics)."""
     flip = rng.random(batch.shape[0]) < 0.5
@@ -236,8 +354,9 @@ def monsters_augment(batch: np.ndarray, rng: np.random.Generator) -> np.ndarray:
 
 
 def make_dataset(name: str, data_root: str = "./data", seed: int = 0,
-                 synthetic_fallback: bool = True, synthetic_n: int = 2048) -> Tuple[ImageSpec, ArrayDataset]:
-    """Resolve a dataset name to (spec, ArrayDataset); falls back to
+                 synthetic_fallback: bool = True, synthetic_n: int = 2048):
+    """Resolve a dataset name to (spec, dataset) — an ``ArrayDataset`` (in
+    RAM) or ``FolderDataset`` (out-of-core), same epoch interface; falls back to
     synthetic data when the files aren't on disk (hermetic environments) —
     LOUDLY, via warnings.warn, and the returned dataset is a
     ``SyntheticImages`` instance callers can (and should) check for."""
@@ -260,10 +379,17 @@ def make_dataset(name: str, data_root: str = "./data", seed: int = 0,
         if arr is None:
             arr = load_mnist_idx(data_root)
     elif name in ("celeb128", "celeb256", "celeb1024", "monsters128"):
-        arr = load_image_folder(os.path.join(data_root, name), spec.image_size)
         if name == "monsters128":
             # the reference trains monsters with its augmentation pipeline on
             augment_fn = monsters_augment
+        # size-aware residency: big folders stream out-of-core (FolderDataset),
+        # small ones decode once into RAM — celeb1024 at reference scale never
+        # materializes as f32 (reference analog: DataLoader over
+        # ImageDatasetFromFile, dataset.py:50-93)
+        ds = open_image_folder(os.path.join(data_root, name), spec.image_size,
+                               seed=seed, augment_fn=augment_fn)
+        if ds is not None:
+            return spec, ds
     if arr is None:
         if not synthetic_fallback:
             raise FileNotFoundError(f"no local data for {name!r} under {data_root!r}")

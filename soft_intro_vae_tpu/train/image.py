@@ -224,7 +224,11 @@ def train_soft_intro_vae(cfg: ImageConfig, dataset: Optional[ArrayDataset] = Non
         # contributes it as its local shard of the global batch (mesh._place)
         from soft_intro_vae_tpu.parallel.multihost import per_host_slice
 
-        dataset.images = dataset.images[per_host_slice(len(dataset))]
+        sl = per_host_slice(len(dataset))
+        if hasattr(dataset, "images"):  # in-RAM ArrayDataset
+            dataset.images = dataset.images[sl]
+        else:  # out-of-core FolderDataset: shard the file list
+            dataset.files = dataset.files[sl]
     synthetic_data = isinstance(dataset, SyntheticImages)
     if synthetic_data:
         print("!" * 72)
