@@ -291,7 +291,11 @@ def main(argv=None):
         p.add_argument("--yaml", type=str, default=None)
         p.add_argument("-m", "--model", type=str, required=True)
         p.add_argument("-o", "--out", type=str, required=True)
-        p.add_argument("--seed", type=int, default=0)
+        # recon-paged's historical default seed is 1 (matching the function
+        # default, make_recon_figure_paged.py shuffle) — keep figure outputs
+        # reproducible across versions
+        p.add_argument("--seed", type=int,
+                       default=1 if name == "recon-paged" else 0)
         if name == "recon":
             # real side: DATASET.PATH %-pattern from the yaml, or synthetic
             p.add_argument("--count", type=int, default=8)

@@ -145,6 +145,13 @@ class ImageNetTFRecords:
                 raise ValueError(
                     f"record is {img.shape[0]}x{img.shape[1]}, expected "
                     f"{src}x{src} (train={self.train}, target={target_size})")
+            if label is None and self.needs_labels:
+                # the reference's FixedLenFeature parse hard-fails on a record
+                # missing 'label' (dataloader.py:205-213) — match that rather
+                # than silently training on a sentinel
+                raise ValueError(
+                    "needs_labels=True but a record has no int64 'label' "
+                    f"field (resolution level {level}); re-build the shards")
             imgs.append(img)
             labels.append(-1 if label is None else int(label))
             if len(imgs) >= batch_size:

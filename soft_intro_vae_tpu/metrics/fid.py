@@ -173,14 +173,40 @@ class InceptionE(nn.Module):
         return jnp.concatenate([b1, b3, bd, bp], axis=-1)
 
 
+# the reference wrapper's dim -> tap-index map (inception.py:28-33)
+BLOCK_INDEX_BY_DIM = {
+    64: 0,    # first max-pool features
+    192: 1,   # second max-pool features
+    768: 2,   # pre-aux-classifier features (Mixed_6e)
+    2048: 3,  # final average-pool features (pool3)
+}
+
+
 class InceptionV3FID(nn.Module):
-    """pt_inception FID network: NHWC in [0,1] -> 2048-dim pool3 features."""
+    """pt_inception FID network: NHWC in [0,1] -> inception features.
+
+    ``output_blocks`` mirrors the reference wrapper's tap points
+    (inception.py:28-33,88-130): 0 = after the first max-pool (64ch),
+    1 = after the second max-pool (192ch), 2 = after Mixed_6e (768ch),
+    3 = global-avg-pooled Mixed_7c (2048-dim vector). With the default
+    ``(3,)`` the pool3 vector is returned bare (the FID path); otherwise a
+    tuple of feature maps (NHWC; block 3 is the pooled (B, 2048) vector)
+    sorted ascending by index, matching the reference's list return
+    (inception.py:135-164). Layers past the last requested block are not
+    traced, so a dims-64-only probe compiles a 4-layer program.
+    """
 
     resize_input: bool = True
     calibrate: bool = False
+    output_blocks: Tuple[int, ...] = (3,)
 
     @nn.compact
-    def __call__(self, x: Array) -> Array:
+    def __call__(self, x: Array):
+        blocks = sorted(set(self.output_blocks))
+        if not blocks or blocks[-1] > 3 or blocks[0] < 0:
+            raise ValueError(f"output_blocks must be within 0..3, got {self.output_blocks}")
+        last = blocks[-1]
+        taps = []
         if self.resize_input:
             x = jax.image.resize(x, (x.shape[0], 299, 299, x.shape[3]), "bilinear")
         x = 2.0 * x - 1.0  # (0,1) -> (-1,1)  (inception.py:151-154)
@@ -188,21 +214,33 @@ class InceptionV3FID(nn.Module):
         x = BasicConv2d(32, (3, 3), name="Conv2d_2a_3x3", calibrate=self.calibrate)(x)
         x = BasicConv2d(64, (3, 3), padding=(1, 1), name="Conv2d_2b_3x3", calibrate=self.calibrate)(x)
         x = max_pool(x, 3, 2)
-        x = BasicConv2d(80, (1, 1), name="Conv2d_3b_1x1", calibrate=self.calibrate)(x)
-        x = BasicConv2d(192, (3, 3), name="Conv2d_4a_3x3", calibrate=self.calibrate)(x)
-        x = max_pool(x, 3, 2)
-        x = InceptionA(32, name="Mixed_5b", calibrate=self.calibrate)(x)
-        x = InceptionA(64, name="Mixed_5c", calibrate=self.calibrate)(x)
-        x = InceptionA(64, name="Mixed_5d", calibrate=self.calibrate)(x)
-        x = InceptionB(name="Mixed_6a", calibrate=self.calibrate)(x)
-        x = InceptionC(128, name="Mixed_6b", calibrate=self.calibrate)(x)
-        x = InceptionC(160, name="Mixed_6c", calibrate=self.calibrate)(x)
-        x = InceptionC(160, name="Mixed_6d", calibrate=self.calibrate)(x)
-        x = InceptionC(192, name="Mixed_6e", calibrate=self.calibrate)(x)
-        x = InceptionD(name="Mixed_7a", calibrate=self.calibrate)(x)
-        x = InceptionE("avg", name="Mixed_7b", calibrate=self.calibrate)(x)
-        x = InceptionE("max", name="Mixed_7c", calibrate=self.calibrate)(x)
-        return jnp.mean(x, axis=(1, 2))  # global avg pool -> (B, 2048)
+        if 0 in blocks:
+            taps.append(x)
+        if last >= 1:
+            x = BasicConv2d(80, (1, 1), name="Conv2d_3b_1x1", calibrate=self.calibrate)(x)
+            x = BasicConv2d(192, (3, 3), name="Conv2d_4a_3x3", calibrate=self.calibrate)(x)
+            x = max_pool(x, 3, 2)
+            if 1 in blocks:
+                taps.append(x)
+        if last >= 2:
+            x = InceptionA(32, name="Mixed_5b", calibrate=self.calibrate)(x)
+            x = InceptionA(64, name="Mixed_5c", calibrate=self.calibrate)(x)
+            x = InceptionA(64, name="Mixed_5d", calibrate=self.calibrate)(x)
+            x = InceptionB(name="Mixed_6a", calibrate=self.calibrate)(x)
+            x = InceptionC(128, name="Mixed_6b", calibrate=self.calibrate)(x)
+            x = InceptionC(160, name="Mixed_6c", calibrate=self.calibrate)(x)
+            x = InceptionC(160, name="Mixed_6d", calibrate=self.calibrate)(x)
+            x = InceptionC(192, name="Mixed_6e", calibrate=self.calibrate)(x)
+            if 2 in blocks:
+                taps.append(x)
+        if last >= 3:
+            x = InceptionD(name="Mixed_7a", calibrate=self.calibrate)(x)
+            x = InceptionE("avg", name="Mixed_7b", calibrate=self.calibrate)(x)
+            x = InceptionE("max", name="Mixed_7c", calibrate=self.calibrate)(x)
+            taps.append(jnp.mean(x, axis=(1, 2)))  # global avg pool -> (B, 2048)
+        if blocks == [3]:
+            return taps[0]  # the FID path: bare pool3 vector
+        return tuple(taps)
 
 
 # ------------------------------------------------------- weight conversion ---

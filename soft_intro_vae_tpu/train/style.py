@@ -86,6 +86,7 @@ class StyleConfig:
     use_synthetic: bool = False
     synthetic_n: int = 512
     fid_every: int = 10
+    nan_check_iter: int = 200  # sub-epoch NaN-abort cadence; 0 disables
     fid_num_images: int = 50000  # reference protocol (train_style_soft_intro_vae.py:292)
     with_fid: bool = False
     save_figures: bool = False
@@ -425,11 +426,11 @@ def train_style_soft_intro_vae(cfg: StyleConfig, dataset: Optional[MultiResImage
                                "epoch_completed": False})
             if cfg.save_figures and lod2batch.is_time_to_report():
                 _save_style_samples(model, cfg, state, lod, epoch, lod2batch.iteration)
-            # sub-epoch NaN abort: one small host sync every 200 iterations
-            # bounds a diverged run to ~200 steps of chip time (the reference
-            # aborts per-iteration at a sync per step; the epoch-mean check
-            # below still catches anything in between)
-            if len(device_metrics) % 200 == 0:
+            # sub-epoch NaN abort: one small host sync every nan_check_iter
+            # iterations bounds a diverged run to that many steps of chip time
+            # (the reference aborts per-iteration at a sync per step; the
+            # epoch-mean check below still catches anything in between)
+            if cfg.nan_check_iter and len(device_metrics) % cfg.nan_check_iter == 0:
                 last = jax.device_get(m)
                 if any(not np.all(np.isfinite(v)) for v in last.values()):
                     raise SystemError("loss is NaN")

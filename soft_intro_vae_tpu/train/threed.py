@@ -53,6 +53,7 @@ class ThreeDConfig:
     save_frequency: int = 50
     valid_frequency: int = 2
     apply_random_rotation: bool = False
+    nan_check_iter: int = 200   # sub-epoch NaN-abort cadence; 0 disables
     reconstruction_loss: str = "chamfer"
     save_figures: bool = False
     results_dir: str = "./results_3d"
@@ -208,17 +209,17 @@ def train_soft_intro_vae_3d(cfg: ThreeDConfig):
             state, m = step_fn(state, x)
             device_metrics.append(m)
             # sub-epoch NaN abort (see train/image.py nan_check_iter): a
-            # small host sync every 200 steps bounds diverged-run waste
-            if len(device_metrics) % 200 == 0:
+            # small host sync every nan_check_iter steps bounds diverged-run waste
+            if cfg.nan_check_iter and len(device_metrics) % cfg.nan_check_iter == 0:
                 last = jax.device_get(m)
                 if any(not np.all(np.isfinite(v)) for v in last.values()):
-                    raise SystemError("loss is Nan")
+                    raise SystemError("loss is NaN")
         host = jax.device_get(device_metrics)
         ep_mean = {k: float(np.mean([h[k] for h in host])) for k in host[0]} if host else {}
         tracker.update(ep_mean)
         tracker.register_means(epoch)
         if any(np.isnan(v) for v in ep_mean.values()):
-            raise SystemError("loss is Nan")
+            raise SystemError("loss is NaN")
         state = state.replace(
             lr_e=jnp.asarray(lr_e_sched(epoch), jnp.float32),
             lr_d=jnp.asarray(lr_d_sched(epoch), jnp.float32),

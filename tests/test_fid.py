@@ -86,6 +86,33 @@ class TestInceptionTopology:
         # torchvision inception_v3 conv trunk = 21,802,784 weights+bn affine
         assert 21_500_000 < n < 22_100_000, n
 
+    def test_multiblock_tap_dims(self):
+        """Reference wrapper tap dims {64,192,768,2048} (inception.py:28-33)
+        at the right spatial scales; blocks sorted ascending."""
+        from soft_intro_vae_tpu.metrics.fid import BLOCK_INDEX_BY_DIM
+
+        assert BLOCK_INDEX_BY_DIM == {64: 0, 192: 1, 768: 2, 2048: 3}
+        model = InceptionV3FID(resize_input=False, output_blocks=(3, 0, 1, 2))
+        x = jnp.zeros((1, 299, 299, 3))
+        variables = model.init(jax.random.key(0), x)
+        t0, t1, t2, t3 = model.apply(variables, x)
+        assert t0.shape == (1, 73, 73, 64)
+        assert t1.shape == (1, 35, 35, 192)
+        assert t2.shape == (1, 17, 17, 768)
+        assert t3.shape == (1, 2048)
+
+    def test_multiblock_early_exit_small_program(self):
+        """A dims-64-only probe must not build (or own params for) the deep
+        trunk — the reference only constructs blocks up to last_needed_block
+        (inception.py:88-99)."""
+        model = InceptionV3FID(resize_input=False, output_blocks=(0,))
+        x = jnp.zeros((1, 75, 75, 3))
+        variables = model.init(jax.random.key(0), x)
+        assert "Mixed_5b" not in variables["params"]
+        assert "Conv2d_3b_1x1" not in variables["params"]
+        (t0,) = model.apply(variables, x)
+        assert t0.shape[-1] == 64
+
 
 class TestFrechet:
     def test_newton_schulz_matches_scipy(self):

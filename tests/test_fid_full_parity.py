@@ -181,6 +181,28 @@ class TInceptionV3FID(nn.Module):
             x = getattr(self, name)(x)
         return F.adaptive_avg_pool2d(x, 1).flatten(1)  # pool3 (B, 2048)
 
+    def forward_taps(self, x):
+        """The reference wrapper's 4 block taps (inception.py:88-130,155-162):
+        maxpool1, maxpool2, Mixed_6e, pool3. Input pre-resized, in [0,1]."""
+        x = 2.0 * x - 1.0
+        x = self.Conv2d_1a_3x3(x)
+        x = self.Conv2d_2a_3x3(x)
+        x = self.Conv2d_2b_3x3(x)
+        x = F.max_pool2d(x, 3, 2)
+        t0 = x
+        x = self.Conv2d_3b_1x1(x)
+        x = self.Conv2d_4a_3x3(x)
+        x = F.max_pool2d(x, 3, 2)
+        t1 = x
+        for name in ("Mixed_5b", "Mixed_5c", "Mixed_5d", "Mixed_6a", "Mixed_6b",
+                     "Mixed_6c", "Mixed_6d", "Mixed_6e"):
+            x = getattr(self, name)(x)
+        t2 = x
+        for name in ("Mixed_7a", "Mixed_7b", "Mixed_7c"):
+            x = getattr(self, name)(x)
+        t3 = F.adaptive_avg_pool2d(x, 1).flatten(1)
+        return t0, t1, t2, t3
+
 
 def _randomize(model, seed):
     g = torch.Generator().manual_seed(seed)
@@ -256,3 +278,22 @@ class TestFullInceptionParity:
         fid_j = frechet_distance(mu_aj, s_aj, mu_bj, s_bj, method="scipy")
         fid_t = frechet_distance(mu_at, s_at, mu_bt, s_bt, method="scipy")
         assert fid_j == pytest.approx(fid_t, rel=5e-3, abs=5e-3)
+
+    def test_multiblock_tap_parity(self, twin_and_variables):
+        """All 4 reference tap points (inception.py:28-33): dims 64/192/768
+        feature maps and the 2048 pool3 vector, same weights, <= 1e-3."""
+        twin, _, variables = twin_and_variables
+        model = InceptionV3FID(resize_input=False, output_blocks=(0, 1, 2, 3))
+        x = np.random.RandomState(81).rand(2, 299, 299, 3).astype(np.float32)
+        with torch.no_grad():
+            t_taps = twin.forward_taps(torch.tensor(x.transpose(0, 3, 1, 2)))
+        j_taps = model.apply(variables, jnp.asarray(x))
+        assert len(j_taps) == 4
+        for i, (tj, tt) in enumerate(zip(j_taps, t_taps)):
+            tt = tt.numpy()
+            tj = np.asarray(tj)
+            if tj.ndim == 4:  # NHWC feature map vs torch NCHW
+                tj = tj.transpose(0, 3, 1, 2)
+            assert tj.shape == tt.shape, (i, tj.shape, tt.shape)
+            err = np.abs(tj - tt).max()
+            assert err <= 1e-3, f"block {i} max-abs err {err}"

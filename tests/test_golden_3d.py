@@ -19,7 +19,7 @@ from soft_intro_vae_tpu.train.state import TrainState
 from soft_intro_vae_tpu.train.step import StepConfig, build_train_steps
 from soft_intro_vae_tpu.utils.torch_compat import convert_mlp
 
-pytestmark = pytest.mark.slow  # compile-heavy: excluded from the fast profile
+pytestmark = [pytest.mark.slow, pytest.mark.golden]  # compile-heavy; golden = torch-twin parity tier
 
 NPTS, ZDIM, H, NL, B = 16, 4, 16, 2, 4
 XDIM = NPTS * 3

@@ -19,7 +19,7 @@ from soft_intro_vae_tpu.train.state import TrainState
 from soft_intro_vae_tpu.train.step import StepConfig, build_train_steps
 from soft_intro_vae_tpu.utils.torch_compat import convert_mlp
 
-pytestmark = pytest.mark.slow  # compile-heavy: excluded from the fast profile
+pytestmark = [pytest.mark.slow, pytest.mark.golden]  # compile-heavy; golden = torch-twin parity tier
 
 XDIM, ZDIM, H, NL, B = 2, 2, 16, 2, 8
 BETAS = dict(beta_rec=0.2, beta_kl=0.3, beta_neg=0.9, gamma_r=1.0)

@@ -31,7 +31,7 @@ from soft_intro_vae_tpu.train.state import TrainState
 from soft_intro_vae_tpu.train.step import StepConfig, build_train_steps
 from soft_intro_vae_tpu.utils.torch_compat import convert_image_decoder, convert_image_encoder
 
-pytestmark = pytest.mark.slow  # compile-heavy: excluded from the fast profile
+pytestmark = [pytest.mark.slow, pytest.mark.golden]  # compile-heavy; golden = torch-twin parity tier
 
 B = 4
 BETAS = dict(beta_rec=1.0, beta_kl=1.0, beta_neg=16.0, gamma_r=1e-8)
