@@ -231,6 +231,193 @@ def load_celeba_u8(celeba_dir: str, cx: int = 89, cy: int = 121,
     return out, None
 
 
+def _iter_lsun_images(lmdb_dir: str, max_images: Optional[int] = None):
+    """Decode LSUN LMDB values to HWC RGB uint8 arrays, skipping bad records
+    (dataset_tool.py:664-689 semantics: per-image try/except, cv2-or-PIL
+    decode — we decode via PIL, which handles LSUN's webp/jpg payloads)."""
+    import io
+    import sys
+
+    from PIL import Image
+
+    from soft_intro_vae_tpu.data.lmdb_reader import LMDBReader
+
+    count = 0
+    with LMDBReader(lmdb_dir) as db:
+        for _key, value in db.items():
+            if max_images is not None and count >= max_images:
+                return
+            try:
+                img = np.asarray(Image.open(io.BytesIO(value)).convert("RGB"))
+            except Exception:
+                print(sys.exc_info()[1])
+                continue
+            count += 1
+            yield img
+
+
+def create_lsun(out_dir: str, lmdb_dir: str, resolution: int = 256,
+                max_images: Optional[int] = None, name: str = "lsun",
+                parts: int = 1, min_level: int = 2) -> List[str]:
+    """LSUN LMDB -> per-LOD shards (dataset_tool.py:658-690 create_lsun):
+    center-crop to the short side, LANCZOS resize to ``resolution``, then
+    the standard multi-resolution shard cascade. Constant memory: one image
+    at a time through streaming writers."""
+    from PIL import Image
+
+    from soft_intro_vae_tpu.data.tfrecords import TFRecordWriter
+
+    max_level = int(np.log2(resolution))
+    assert 2 ** max_level == resolution, f"resolution {resolution} not a power of 2"
+    os.makedirs(out_dir, exist_ok=True)
+    writers = {
+        (level, part): TFRecordWriter(
+            os.path.join(out_dir, f"{name}-r{level:02d}.tfrecords.{part:03d}"))
+        for level in range(min_level, max_level + 1)
+        for part in range(parts)
+    }
+    try:
+        for i, img in enumerate(_iter_lsun_images(lmdb_dir, max_images)):
+            crop = min(img.shape[:2])
+            img = img[(img.shape[0] - crop) // 2: (img.shape[0] + crop) // 2,
+                      (img.shape[1] - crop) // 2: (img.shape[1] + crop) // 2]
+            pimg = Image.fromarray(img, "RGB").resize(
+                (resolution, resolution), Image.LANCZOS)
+            cur = np.asarray(pimg, np.uint8)
+            part = i % parts
+            for level in range(max_level, min_level - 1, -1):
+                chw = cur.transpose(2, 0, 1)
+                writers[(level, part)].write(make_example({
+                    "shape": list(chw.shape), "data": chw.tobytes()}))
+                if level > min_level:
+                    cur = downscale_u8(cur)
+    finally:
+        for w in writers.values():
+            w.close()
+    return [w.path for w in writers.values()]
+
+
+def create_lsun_wide(out_dir: str, lmdb_dir: str, width: int = 512,
+                     height: int = 384, max_images: Optional[int] = None,
+                     name: str = "lsun-wide", parts: int = 1,
+                     min_level: int = 2) -> List[str]:
+    """LSUN LMDB -> width*width shards with the image letterboxed on a black
+    canvas (dataset_tool.py:694-740 create_lsun_wide): crop vertically to the
+    width aspect, resize to (width, height), skip too-small sources."""
+    from PIL import Image
+
+    from soft_intro_vae_tpu.data.tfrecords import TFRecordWriter
+
+    max_level = int(np.log2(width))
+    assert 2 ** max_level == width, f"width {width} not a power of 2"
+    assert height <= width
+    os.makedirs(out_dir, exist_ok=True)
+    writers = {
+        (level, part): TFRecordWriter(
+            os.path.join(out_dir, f"{name}-r{level:02d}.tfrecords.{part:03d}"))
+        for level in range(min_level, max_level + 1)
+        for part in range(parts)
+    }
+    written = 0
+    try:
+        for img in _iter_lsun_images(lmdb_dir, None):
+            if max_images is not None and written >= max_images:
+                break
+            ch = int(np.round(width * img.shape[0] / img.shape[1]))
+            if img.shape[1] < width or ch < height:
+                continue  # too small for the target aspect (dataset_tool.py:719)
+            img = img[(img.shape[0] - ch) // 2: (img.shape[0] + ch) // 2]
+            pimg = Image.fromarray(img, "RGB").resize((width, height), Image.LANCZOS)
+            arr = np.asarray(pimg, np.uint8)
+            canvas = np.zeros((width, width, 3), np.uint8)
+            canvas[(width - height) // 2: (width + height) // 2] = arr
+            part = written % parts
+            cur = canvas
+            for level in range(max_level, min_level - 1, -1):
+                chw = cur.transpose(2, 0, 1)
+                writers[(level, part)].write(make_example({
+                    "shape": list(chw.shape), "data": chw.tobytes()}))
+                if level > min_level:
+                    cur = downscale_u8(cur)
+            written += 1
+    finally:
+        for w in writers.values():
+            w.close()
+    return [w.path for w in writers.values()]
+
+
+def create_celeba_hq(input_dir: str, out_dir: str, train_size: int = 70000,
+                     test_size: int = 10000, parts: int = 1,
+                     max_level: int = 8, name: str = "celeba-hq",
+                     min_level: int = 2) -> List[str]:
+    """Pre-generated CelebA-HQ image folder -> per-LOD train/test fold shards
+    (prepare_celeba_hq_tfrecords.py:99-165 prepare_celeba): integer filenames
+    become the int64 'label' field, train = first ``train_size`` images by
+    index, test = the next ``test_size``; each split is seed-0 shuffled and
+    dealt round-robin into ``parts`` folds; per-LOD cascade is a 2x avg-pool
+    with truncating uint8 cast (the reference's F.avg_pool2d().to(uint8)).
+
+    (The reference takes images in os.listdir order, which is filesystem-
+    dependent; we sort by index so shards are reproducible.)
+    """
+    import random
+
+    from PIL import Image
+
+    from soft_intro_vae_tpu.data.tfrecords import TFRecordWriter
+
+    size = 2 ** max_level
+    exts = (".jpg", ".jpeg", ".png", ".bmp", ".webp")
+    images = sorted(
+        (int(os.path.splitext(f)[0]), f)
+        for f in os.listdir(input_dir)
+        if f.lower().endswith(exts) and os.path.splitext(f)[0].isdigit())
+    if not images:
+        raise FileNotFoundError(f"no integer-named images under {input_dir}")
+    os.makedirs(out_dir, exist_ok=True)
+    paths: List[str] = []
+    splits = (("", images[:train_size]),
+              ("-test", images[train_size: train_size + test_size]))
+    for suffix, split in splits:
+        if not split:
+            continue
+        split = list(split)
+        random.Random(0).shuffle(split)  # random.seed(0) in the reference
+        count_per_fold = len(split) // parts
+        writers = {
+            (level, part): TFRecordWriter(os.path.join(
+                out_dir, f"{name}{suffix}-r{level:02d}.tfrecords.{part:03d}"))
+            for level in range(min_level, max_level + 1)
+            for part in range(parts)
+        }
+        try:
+            for part in range(parts):
+                fold = split[part * count_per_fold: (part + 1) * count_per_fold] \
+                    if parts > 1 else split
+                for label, filename in fold:
+                    img = Image.open(os.path.join(input_dir, filename)).convert("RGB")
+                    if img.size != (size, size):
+                        img = img.resize((size, size), Image.LANCZOS)
+                    cur = np.asarray(img, np.uint8)
+                    for level in range(max_level, min_level - 1, -1):
+                        chw = cur.transpose(2, 0, 1)
+                        writers[(level, part)].write(make_example({
+                            "shape": list(chw.shape),
+                            "label": [label],
+                            "data": chw.tobytes()}))
+                        if level > min_level:
+                            # truncating cast, not rint: float mean -> uint8
+                            f = cur.astype(np.float32).reshape(
+                                cur.shape[0] // 2, 2, cur.shape[1] // 2, 2, 3
+                            ).mean(axis=(1, 3))
+                            cur = np.clip(f, 0, 255).astype(np.uint8)
+        finally:
+            for w in writers.values():
+                w.close()
+        paths.extend(w.path for w in writers.values())
+    return paths
+
+
 SOURCE_CREATORS = {
     "mnist": (load_mnist_u8, 5),
     "mnistrgb": (load_mnistrgb_u8, 5),
@@ -329,6 +516,30 @@ def main(argv=None):
     p_src.add_argument("--num-images", type=int, default=1_000_000,
                        help="mnistrgb only: synthetic RGB triplet count")
 
+    p_lsun = sub.add_parser("create-lsun", help="LSUN LMDB -> per-LOD shards")
+    p_lsun.add_argument("-i", "--input", required=True,
+                        help="LMDB env dir (or data.mdb path)")
+    p_lsun.add_argument("-o", "--output", required=True)
+    p_lsun.add_argument("--name", default="lsun")
+    p_lsun.add_argument("--resolution", type=int, default=256)
+    p_lsun.add_argument("--parts", type=int, default=1)
+    p_lsun.add_argument("--max-images", type=int, default=None)
+    p_lsun.add_argument("--wide", action="store_true",
+                        help="letterboxed width x height variant (create_lsun_wide)")
+    p_lsun.add_argument("--width", type=int, default=512)
+    p_lsun.add_argument("--height", type=int, default=384)
+
+    p_chq = sub.add_parser("create-celeba-hq",
+                           help="pre-generated CelebA-HQ folder -> labeled "
+                                "per-LOD train/test fold shards")
+    p_chq.add_argument("-i", "--input", required=True, help="image folder")
+    p_chq.add_argument("-o", "--output", required=True)
+    p_chq.add_argument("--name", default="celeba-hq")
+    p_chq.add_argument("--train-size", type=int, default=70000)
+    p_chq.add_argument("--test-size", type=int, default=10000)
+    p_chq.add_argument("--parts", type=int, default=1)
+    p_chq.add_argument("--max-level", type=int, default=8)
+
     p_split = sub.add_parser("split", help="one-file-per-level -> per-part shards")
     p_split.add_argument("--source", required=True, help="pattern with one %%d (level)")
     p_split.add_argument("--out", required=True, help="pattern with two %% fields (level, part)")
@@ -345,6 +556,23 @@ def main(argv=None):
         paths = create_from_source(args.source, args.input, args.output,
                                    name=args.name, parts=args.parts, **kwargs)
         print(f"wrote {len(paths)} files to {args.output}")
+        return
+    if args.command == "create-lsun":
+        if args.wide:
+            paths = create_lsun_wide(args.output, args.input, args.width,
+                                     args.height, args.max_images,
+                                     name=args.name, parts=args.parts)
+        else:
+            paths = create_lsun(args.output, args.input, args.resolution,
+                                args.max_images, name=args.name, parts=args.parts)
+        print(f"wrote {len(paths)} shards to {args.output}")
+        return
+    if args.command == "create-celeba-hq":
+        paths = create_celeba_hq(args.input, args.output,
+                                 train_size=args.train_size,
+                                 test_size=args.test_size, parts=args.parts,
+                                 max_level=args.max_level, name=args.name)
+        print(f"wrote {len(paths)} shards to {args.output}")
         return
     if args.command == "split":
         n = split_tfrecords(args.source, args.out, args.parts, args.train_size,
