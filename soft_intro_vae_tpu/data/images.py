@@ -20,6 +20,17 @@ from typing import Dict, Iterator, Optional, Tuple
 import numpy as np
 
 
+def to_unit_float(batch: np.ndarray) -> np.ndarray:
+    """uint8 [0,255] -> float32 [0,1]; float batches pass through unchanged.
+
+    The uint8 round-trip is exact for every loader here (all sources are
+    natively 8-bit), so f32 and u8 storage produce bit-identical training
+    batches once normalized."""
+    if batch.dtype == np.uint8:
+        return batch.astype(np.float32) / 255.0
+    return batch
+
+
 @dataclasses.dataclass(frozen=True)
 class ImageSpec:
     """One row of the reference dataset registry: sizes + channel schedule."""
@@ -95,8 +106,12 @@ class SyntheticImages(ArrayDataset):
         super().__init__(np.clip(0.8 * up + 0.2 * noise, 0.0, 1.0), seed=seed)
 
 
-def load_cifar10(root: str) -> Optional[np.ndarray]:
-    """Read the standard ``cifar-10-batches-py`` pickles -> (50000,32,32,3)."""
+def load_cifar10(root: str, dtype: str = "float32") -> Optional[np.ndarray]:
+    """Read the standard ``cifar-10-batches-py`` pickles -> (50000,32,32,3).
+
+    dtype="uint8" keeps the source bytes (4x less host RAM and H2D traffic;
+    normalization to [0,1] then happens ON DEVICE via the trainers'
+    normalizing put — see data/prefetch.py)."""
     d = os.path.join(root, "cifar-10-batches-py")
     if not os.path.isdir(d):
         return None
@@ -106,11 +121,15 @@ def load_cifar10(root: str) -> Optional[np.ndarray]:
             batch = pickle.load(f, encoding="bytes")
         chunks.append(batch[b"data"])
     data = np.concatenate(chunks).reshape(-1, 3, 32, 32).transpose(0, 2, 3, 1)
+    if dtype == "uint8":
+        return np.ascontiguousarray(data)
     return (data.astype(np.float32) / 255.0)
 
 
-def load_mnist_idx(root: str, name: str = "train-images-idx3-ubyte") -> Optional[np.ndarray]:
-    """Read raw MNIST/FashionMNIST idx files -> (N, 28, 28, 1) in [0,1]."""
+def load_mnist_idx(root: str, name: str = "train-images-idx3-ubyte",
+                   dtype: str = "float32") -> Optional[np.ndarray]:
+    """Read raw MNIST/FashionMNIST idx files -> (N, 28, 28, 1) in [0,1]
+    (or raw uint8 with dtype="uint8")."""
     import gzip
 
     for candidate in (os.path.join(root, name), os.path.join(root, name + ".gz")):
@@ -120,6 +139,8 @@ def load_mnist_idx(root: str, name: str = "train-images-idx3-ubyte") -> Optional
                 raw = f.read()
             n = int.from_bytes(raw[4:8], "big")
             data = np.frombuffer(raw, np.uint8, offset=16).reshape(n, 28, 28, 1)
+            if dtype == "uint8":
+                return data.copy()
             return data.astype(np.float32) / 255.0
     return None
 
@@ -132,10 +153,12 @@ def load_image_folder(
     mirror: bool = True,
     limit: Optional[int] = None,
     seed: int = 0,
+    dtype: str = "float32",
 ) -> Optional[np.ndarray]:
     """Folder-of-images loader (ImageDatasetFromFile parity: RGB convert,
     optional center crop, bicubic resize; random mirror is applied at batch
-    time by ``augment_mirror``). Requires PIL."""
+    time by ``augment_mirror``). Requires PIL. dtype="uint8" stores source
+    bytes (4x less RAM; device-side normalization via the trainers' put)."""
     try:
         from PIL import Image
     except ImportError:
@@ -148,7 +171,8 @@ def load_image_folder(
         files = files[:limit]
     if not files:
         return None
-    out = np.empty((len(files), output_size, output_size, 3), np.float32)
+    np_dtype = np.uint8 if dtype == "uint8" else np.float32
+    out = np.empty((len(files), output_size, output_size, 3), np_dtype)
     for i, name in enumerate(files):
         img = Image.open(os.path.join(root, name)).convert("RGB")
         if input_size:
@@ -158,7 +182,8 @@ def load_image_folder(
             left, top = (w - crop_size) // 2, (h - crop_size) // 2
             img = img.crop((left, top, left + crop_size, top + crop_size))
         img = img.resize((output_size, output_size), Image.BICUBIC)
-        out[i] = np.asarray(img, np.float32) / 255.0
+        raw = np.asarray(img, np.uint8)
+        out[i] = raw if np_dtype == np.uint8 else raw.astype(np.float32) / 255.0
     return out
 
 
@@ -180,7 +205,7 @@ class FolderDataset:
 
     def __init__(self, files, output_size: int, input_size: Optional[int] = None,
                  crop_size: Optional[int] = None, seed: int = 0, augment_fn=None,
-                 workers: int = 8):
+                 workers: int = 8, dtype: str = "float32"):
         from PIL import Image  # hard requirement for a folder dataset
 
         self._Image = Image
@@ -195,14 +220,15 @@ class FolderDataset:
         self.augment_fn = augment_fn
         self._workers = max(1, workers)
         self._pool = None  # lazily created; kept for the dataset's lifetime
+        self._dtype = np.uint8 if dtype == "uint8" else np.float32
 
     def __len__(self) -> int:
         return len(self.files)
 
     def _decode(self, path: str) -> np.ndarray:
-        """One image -> (H, W, 3) float32 in [0,1] (ImageDatasetFromFile
-        semantics: RGB convert, optional resize-to-input, optional center
-        crop, bicubic resize to output)."""
+        """One image -> (H, W, 3) float32 in [0,1] — or uint8 when built with
+        dtype="uint8" (ImageDatasetFromFile semantics: RGB convert, optional
+        resize-to-input, optional center crop, bicubic resize to output)."""
         Image = self._Image
         img = Image.open(path).convert("RGB")
         if self.input_size:
@@ -213,7 +239,8 @@ class FolderDataset:
             img = img.crop((left, top, left + self.crop_size, top + self.crop_size))
         if img.size != (self.output_size, self.output_size):
             img = img.resize((self.output_size, self.output_size), Image.BICUBIC)
-        return np.asarray(img, np.float32) / 255.0
+        raw = np.asarray(img, np.uint8)
+        return raw if self._dtype == np.uint8 else raw.astype(np.float32) / 255.0
 
     def _ensure_pool(self):
         if self._pool is None and self._workers > 1:
@@ -250,12 +277,15 @@ def open_image_folder(
     augment_fn=None,
     max_resident_bytes: Optional[int] = None,
     limit: Optional[int] = None,
+    storage: str = "float32",
 ):
     """Folder loader that picks residency by size: small folders are decoded
     once into an in-RAM ``ArrayDataset`` (fastest epoch iteration), folders
-    whose float32 footprint exceeds ``max_resident_bytes`` (default 4 GiB;
+    whose resident footprint exceeds ``max_resident_bytes`` (default 4 GiB;
     env SIV_MAX_RESIDENT_BYTES overrides; 0 forces out-of-core) stream
-    through ``FolderDataset``. Returns None when the folder is absent/empty."""
+    through ``FolderDataset``. storage="uint8" quarters both the residency
+    footprint and the per-batch H2D bytes (see ``to_unit_float``).
+    Returns None when the folder is absent/empty."""
     try:
         from PIL import Image  # noqa: F401
     except ImportError:
@@ -270,13 +300,15 @@ def open_image_folder(
         return None
     if max_resident_bytes is None:
         max_resident_bytes = int(os.environ.get("SIV_MAX_RESIDENT_BYTES", 4 << 30))
-    f32_bytes = len(files) * output_size * output_size * 3 * 4
+    px_bytes = 1 if storage == "uint8" else 4
+    resident_bytes = len(files) * output_size * output_size * 3 * px_bytes
     paths = [os.path.join(root, f) for f in files]
-    if f32_bytes > max_resident_bytes:
+    if resident_bytes > max_resident_bytes:
         return FolderDataset(paths, output_size, input_size=input_size,
-                             crop_size=crop_size, seed=seed, augment_fn=augment_fn)
+                             crop_size=crop_size, seed=seed, augment_fn=augment_fn,
+                             dtype=storage)
     arr = load_image_folder(root, output_size, input_size=input_size,
-                            crop_size=crop_size, limit=limit, seed=seed)
+                            crop_size=crop_size, limit=limit, seed=seed, dtype=storage)
     return ArrayDataset(arr, seed=seed, augment_fn=augment_fn) if arr is not None else None
 
 
@@ -330,17 +362,20 @@ def augment_hue(batch: np.ndarray, rng: np.random.Generator, max_hue: float = 0.
     return np.clip(rgb, 0.0, 1.0)
 
 
-def load_svhn(root: str, split: str = "train") -> Optional[np.ndarray]:
+def load_svhn(root: str, split: str = "train", dtype: str = "float32") -> Optional[np.ndarray]:
     """Read the SVHN ``{split}_32x32.mat`` (the file torchvision's SVHN
     dataset downloads; reference train_soft_intro_vae.py:424-427)
-    -> (N, 32, 32, 3) float32 in [0, 1]."""
+    -> (N, 32, 32, 3) float32 in [0, 1] (or raw uint8 with dtype="uint8")."""
     path = os.path.join(root, f"{split}_32x32.mat")
     if not os.path.exists(path):
         return None
     from scipy.io import loadmat
 
     x = loadmat(path)["X"]  # (32, 32, 3, N) uint8
-    return x.transpose(3, 0, 1, 2).astype(np.float32) / 255.0
+    x = np.ascontiguousarray(x.transpose(3, 0, 1, 2))
+    if dtype == "uint8":
+        return x
+    return x.astype(np.float32) / 255.0
 
 
 def monsters_augment(batch: np.ndarray, rng: np.random.Generator) -> np.ndarray:
@@ -354,40 +389,49 @@ def monsters_augment(batch: np.ndarray, rng: np.random.Generator) -> np.ndarray:
 
 
 def make_dataset(name: str, data_root: str = "./data", seed: int = 0,
-                 synthetic_fallback: bool = True, synthetic_n: int = 2048):
+                 synthetic_fallback: bool = True, synthetic_n: int = 2048,
+                 storage: str = "float32"):
     """Resolve a dataset name to (spec, dataset) — an ``ArrayDataset`` (in
     RAM) or ``FolderDataset`` (out-of-core), same epoch interface; falls back to
     synthetic data when the files aren't on disk (hermetic environments) —
     LOUDLY, via warnings.warn, and the returned dataset is a
-    ``SyntheticImages`` instance callers can (and should) check for."""
+    ``SyntheticImages`` instance callers can (and should) check for.
+
+    storage="uint8" keeps host batches in source bytes: 4x less RAM and 4x
+    fewer H2D bytes; the trainers normalize on device (data/prefetch.py
+    normalizing_put_fn), which measures ~1.9x faster host-fed steps on the
+    tunneled v5e chip (BENCH_NOTES host-fed rows). monsters128 always stores
+    float32 — its hue-rotation augment runs in float on host."""
     if name not in DATASETS:
         raise NotImplementedError(f"dataset {name!r} is not supported")
     spec = DATASETS[name]
     arr = None
     augment_fn = None
     if name == "cifar10":
-        arr = load_cifar10(os.path.join(data_root, "cifar10_ds"))
+        arr = load_cifar10(os.path.join(data_root, "cifar10_ds"), dtype=storage)
         if arr is None:
-            arr = load_cifar10(data_root)
+            arr = load_cifar10(data_root, dtype=storage)
     elif name == "svhn":
-        arr = load_svhn(os.path.join(data_root, "svhn"))
+        arr = load_svhn(os.path.join(data_root, "svhn"), dtype=storage)
         if arr is None:
-            arr = load_svhn(data_root)
+            arr = load_svhn(data_root, dtype=storage)
     elif name in ("mnist", "fmnist"):
         sub = {"mnist": "mnist_ds", "fmnist": "fmnist_ds"}[name]
-        arr = load_mnist_idx(os.path.join(data_root, sub))
+        arr = load_mnist_idx(os.path.join(data_root, sub), dtype=storage)
         if arr is None:
-            arr = load_mnist_idx(data_root)
+            arr = load_mnist_idx(data_root, dtype=storage)
     elif name in ("celeb128", "celeb256", "celeb1024", "monsters128"):
         if name == "monsters128":
-            # the reference trains monsters with its augmentation pipeline on
+            # the reference trains monsters with its augmentation pipeline on;
+            # the hue rotation is float math — keep float storage here
             augment_fn = monsters_augment
+            storage = "float32"
         # size-aware residency: big folders stream out-of-core (FolderDataset),
         # small ones decode once into RAM — celeb1024 at reference scale never
         # materializes as f32 (reference analog: DataLoader over
         # ImageDatasetFromFile, dataset.py:50-93)
         ds = open_image_folder(os.path.join(data_root, name), spec.image_size,
-                               seed=seed, augment_fn=augment_fn)
+                               seed=seed, augment_fn=augment_fn, storage=storage)
         if ds is not None:
             return spec, ds
     if arr is None:

@@ -420,7 +420,10 @@ def compute_statistics_streaming(apply_fn: Callable, batches: Iterable[np.ndarra
     s = None
     ss = None
     for b in batches:
-        a = np.asarray(fwd(jnp.asarray(b)), np.float64)
+        x = jnp.asarray(b)
+        if x.dtype == jnp.uint8:  # uint8-storage datasets (data/images.py)
+            x = x.astype(jnp.float32) / 255.0
+        a = np.asarray(fwd(x), np.float64)
         if s is None:
             s = a.sum(0)
             ss = a.T @ a

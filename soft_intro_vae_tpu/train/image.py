@@ -87,6 +87,13 @@ class ImageConfig:
     # check still catches anything in between (NaN propagates through means).
     # 0 disables.
     nan_check_iter: int = 200
+    # host-side pixel storage: "uint8" (default) keeps source bytes on host —
+    # 4x less RAM + 4x fewer H2D bytes, normalized to f32 [0,1] ON DEVICE
+    # (data/prefetch.py normalizing_put_fn; exact round-trip, see
+    # data/images.py to_unit_float). "float32" = normalize on host (the
+    # reference DataLoader's layout, dataset.py:129-134). Only consulted when
+    # the trainer builds its own dataset; a caller-passed dataset keeps its dtype.
+    host_storage: str = "uint8"
     verbose: bool = True
 
 
@@ -216,7 +223,8 @@ def train_soft_intro_vae(cfg: ImageConfig, dataset: Optional[ArrayDataset] = Non
     if dataset is None or spec is None:
         spec, dataset = make_dataset(cfg.dataset, cfg.data_root, seed=max(cfg.seed, 0),
                                      synthetic_fallback=cfg.synthetic_fallback,
-                                     synthetic_n=cfg.synthetic_n)
+                                     synthetic_n=cfg.synthetic_n,
+                                     storage=cfg.host_storage)
     from soft_intro_vae_tpu.data.images import SyntheticImages
 
     if jax.process_count() > 1:
@@ -311,16 +319,16 @@ def train_soft_intro_vae(cfg: ImageConfig, dataset: Optional[ArrayDataset] = Non
                 yield np.stack(buf)
 
         device_metrics = []
-        from soft_intro_vae_tpu.data.prefetch import device_prefetch
+        from soft_intro_vae_tpu.data.prefetch import device_prefetch, normalizing_put_fn
 
+        # uint8-aware put: ships source bytes, normalizes to f32 on device
+        # (no-op passthrough for float datasets)
         if cfg.scan_steps > 1:
-            raw_iter = device_prefetch(
-                host_chunks(), size=2,
-                put_fn=lambda b: pmesh.shard_scan_batch(jnp.asarray(b), mesh))
+            raw_iter = device_prefetch(host_chunks(), size=2,
+                                       put_fn=normalizing_put_fn(mesh, scan=True))
         else:
-            raw_iter = device_prefetch(
-                host_batches(), size=2,
-                put_fn=lambda b: pmesh.shard_batch(jnp.asarray(b), mesh))
+            raw_iter = device_prefetch(host_batches(), size=2,
+                                       put_fn=normalizing_put_fn(mesh))
         for x in raw_iter:
             k = int(x.shape[0]) if cfg.scan_steps > 1 else 1
             state, m = step_fn(state, x)
