@@ -54,7 +54,9 @@ def reconstruction_figure(cfg: StyleConfig, ckpt_path: str, dataset: MultiResIma
     buf = state.ema_buffers if use_ema else state.buffers
     lod = cfg.layer_count - 1
     res = model.layer_to_resolution[lod]
-    x = next(iter(dataset.epoch(res, count))) / 127.5 - 1.0
+    # astype first: uint8-storage datasets (train/style.py host_storage)
+    # must normalize in f32, same as the trainer's host path
+    x = next(iter(dataset.epoch(res, count))).astype(np.float32) / 127.5 - 1.0
     eps = jnp.zeros((count, cfg.latent_space_size))
     z, mu, _ = model.encode(pe, jnp.asarray(x, jnp.float32), lod, None, eps)  # z = mu
     rec, _ = model.generate(pd, buf, jax.random.key(1), lod, None, mu,

@@ -39,7 +39,11 @@ def _downscale_u8_to(img_hwc: np.ndarray, res: int) -> np.ndarray:
 
 
 class StreamingTFRecords:
-    """Stream per-LOD TFRecord shards as float32 NHWC batches in [0, 255].
+    """Stream per-LOD TFRecord shards as NHWC batches in [0, 255] —
+    float32 by default, or source-byte uint8 with ``storage="uint8"``
+    (lossless: per-LOD records store uint8 pixels; shipping bytes quarters
+    host RAM churn and H2D traffic — the trainer normalizes on device,
+    see train/style.py's feed).
 
     Parameters mirror the reference's TFRecordsDataset ctor
     (dataloader.py:31-67): ``path_pattern`` with two %-fields (level, part),
@@ -56,7 +60,8 @@ class StreamingTFRecords:
     def __init__(self, path_pattern: str, part_count: int, dataset_size: int,
                  max_resolution_level: int, rank: int = 0, world_size: int = 1,
                  buffer_size_mb: int = 200, channels: int = 3, seed: int = 0,
-                 flip: bool = True, min_resolution_level: int = 2):
+                 flip: bool = True, min_resolution_level: int = 2,
+                 storage: str = "float32"):
         if part_count % world_size != 0:
             raise ValueError(f"part_count {part_count} not divisible by world_size {world_size}")
         self.path_pattern = path_pattern
@@ -68,6 +73,7 @@ class StreamingTFRecords:
         self.seed = seed
         self.flip = flip
         self.buffer_bytes = buffer_size_mb * 1024 * 1024
+        self.batch_dtype = np.uint8 if storage == "uint8" else np.float32
         self._epoch_counter = 0
 
         # per-level shard lists for THIS rank (dataloader.py:60-67)
@@ -109,7 +115,8 @@ class StreamingTFRecords:
     def epoch(self, res: int, batch_size: int, drop_last: bool = True,
               epoch_index: Optional[int] = None) -> Iterator[np.ndarray]:
         """One pass over this rank's shards at resolution ``res``:
-        float32 (B, res, res, C) batches in [0, 255], shuffle-buffered."""
+        (B, res, res, C) batches in [0, 255] (dtype = ctor ``storage``),
+        shuffle-buffered."""
         level = int(np.log2(res))
         assert 2 ** level == res, f"resolution {res} not a power of two"
         src_level = level if level in self.filenames else self.max_level
@@ -128,7 +135,7 @@ class StreamingTFRecords:
         def flush() -> Optional[np.ndarray]:
             if len(pending) < batch_size:
                 return None
-            batch = np.asarray(pending[:batch_size], np.float32)
+            batch = np.asarray(pending[:batch_size], self.batch_dtype)
             del pending[:batch_size]
             if self.flip:
                 flips = rng.random(batch.shape[0]) < 0.5
@@ -156,7 +163,7 @@ class StreamingTFRecords:
             while pending:
                 pad = pending[: batch_size]
                 del pending[: len(pad)]
-                batch = np.asarray(pad, np.float32)
+                batch = np.asarray(pad, self.batch_dtype)
                 if self.flip:  # same augmentation on the tail as on full batches
                     flips = rng.random(batch.shape[0]) < 0.5
                     batch[flips] = batch[flips][:, :, ::-1, :]

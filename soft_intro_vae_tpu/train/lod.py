@@ -42,15 +42,23 @@ class LODDriver:
     def get_per_device_batch_size(self) -> int:
         return self.get_batch_size() // self.world_size
 
-    def get_blend_factor(self) -> float:
+    def blend_factor_at(self, iteration: int) -> float:
+        """Blend at an arbitrary images-seen count this epoch — a pure
+        function of (current_epoch, iteration), so an input-pipeline producer
+        can compute blends ahead of the training loop without mutating the
+        driver (the loop's own ``step()`` cadence stays authoritative for
+        report/snapshot ticks)."""
         if self.epochs_per_lod == 0:
             return 1.0
-        blend = float((self.current_epoch % self.epochs_per_lod) * self.dataset_size + self.iteration)
+        blend = float((self.current_epoch % self.epochs_per_lod) * self.dataset_size + iteration)
         # max(1, …): EPOCHS_PER_LOD=1 has no first-half transition window and
         # the reference's unguarded `// 2` (lod_driver.py:66) divides by zero
         blend /= float(max(1, self.epochs_per_lod // 2) * self.dataset_size)
         blend = math.sin(blend * math.pi - 0.5 * math.pi) * 0.5 + 0.5
         return blend if self.in_transition else 1.0
+
+    def get_blend_factor(self) -> float:
+        return self.blend_factor_at(self.iteration)
 
     def is_time_to_report(self) -> bool:
         freq = self.reports[min(self.lod, len(self.reports) - 1)] * 1000

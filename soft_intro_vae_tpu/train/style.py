@@ -100,6 +100,12 @@ class StyleConfig:
     world_size: Optional[int] = None
     compute_dtype: str = "float32"  # "bfloat16": conv-path activations
     remat: bool = False  # jax.checkpoint subnet forwards (512px+/large-batch)
+    # host-side pixel storage for the input feed: "uint8" ships source bytes
+    # (4x less host RAM churn + H2D traffic; lossless — per-LOD TFRecords
+    # store uint8) and normalizes to [-1,1] ON DEVICE via a 256-entry LUT
+    # that is bit-exact vs the host /127.5-1 path (tests/test_style_uint8.py).
+    # "float32" = normalize on host (the reference dataloader's layout).
+    host_storage: str = "uint8"
 
     @classmethod
     def from_yaml(cls, path: str, overrides: Sequence[str] = ()) -> "StyleConfig":
@@ -174,9 +180,18 @@ class MultiResImages:
     prepared offline; same pixels, computed on the fly here).
     Values are float32 in [0, 255] (reference feeds uint8 then /127.5-1)."""
 
-    def __init__(self, images_u8: np.ndarray, seed: int = 0, flip: bool = True):
+    def __init__(self, images_u8: np.ndarray, seed: int = 0, flip: bool = True,
+                 storage: str = "float32"):
         assert images_u8.ndim == 4
-        self.base = images_u8.astype(np.float32)
+        if storage == "uint8":
+            # keep source bytes; per-LOD views are rint-rounded to uint8 per
+            # level in at_resolution — the same pixels the reference's
+            # per-LOD TFRecord preparation stores (dataset_tool.py downscale
+            # cascade emits uint8 at every LOD)
+            self.base = (images_u8 if images_u8.dtype == np.uint8
+                         else np.clip(np.rint(images_u8), 0, 255).astype(np.uint8))
+        else:
+            self.base = images_u8.astype(np.float32)
         self.seed = seed
         self.rng = np.random.default_rng(seed)
         self.flip = flip
@@ -187,14 +202,14 @@ class MultiResImages:
 
     @classmethod
     def from_tfrecords(cls, paths, rank: int = 0, world_size: int = 1, seed: int = 0,
-                       flip: bool = True) -> "MultiResImages":
+                       flip: bool = True, storage: str = "float32") -> "MultiResImages":
         """Build from max-resolution TFRecord shards (the reference's data
         path, dataloader.py:30-102), with per-rank shard assignment."""
         from soft_intro_vae_tpu.data.tfrecords import load_uint8_images, shard_paths_for_rank
 
         mine = shard_paths_for_rank(list(paths), rank, world_size)
         imgs = load_uint8_images(mine)  # NHWC uint8
-        return cls(imgs.astype(np.float32), seed=seed, flip=flip)
+        return cls(imgs, seed=seed, flip=flip, storage=storage)
 
     @classmethod
     def synthetic(cls, n: int, resolution: int, channels: int = 3, seed: int = 0):
@@ -207,11 +222,15 @@ class MultiResImages:
 
     def at_resolution(self, res: int) -> np.ndarray:
         if res not in self._cache:
-            cur = self.base
+            u8 = self.base.dtype == np.uint8
+            cur = self.base.astype(np.float32) if u8 else self.base
             while cur.shape[1] > res:
                 b, h, w, c = cur.shape
                 cur = cur.reshape(b, h // 2, 2, w // 2, 2, c).mean(axis=(2, 4))
-            self._cache[res] = cur.astype(np.float32)
+            # uint8 storage: float box cascade, single final rint — the same
+            # per-record semantics as data/streaming.py _box_downscale
+            self._cache[res] = (np.clip(np.rint(cur), 0, 255).astype(np.uint8)
+                                if u8 else cur.astype(np.float32))
         return self._cache[res]
 
     def epoch(self, res: int, batch_size: int, drop_last: bool = True,
@@ -292,7 +311,8 @@ def make_style_dataset(cfg: StyleConfig):
             cfg.dataset_path, part_count=cfg.part_count, dataset_size=cfg.dataset_size,
             max_resolution_level=cfg.max_resolution_level, rank=rank,
             world_size=world, buffer_size_mb=cfg.buffer_size_mb,
-            channels=cfg.channels, seed=cfg.seed, flip=cfg.flip_images)
+            channels=cfg.channels, seed=cfg.seed, flip=cfg.flip_images,
+            storage=cfg.host_storage)
     raise ValueError(
         "DATASET.PATH must be a per-LOD TFRecord %-pattern "
         "(e.g. 'ffhq-r%02d.tfrecords.%03d'); set use_synthetic=True "
@@ -365,6 +385,15 @@ def train_style_soft_intro_vae(cfg: StyleConfig, dataset: Optional[MultiResImage
                   "RANDOM-INIT Inception;\n! logged as 'fid_selfconsistent', NOT "
                   "comparable to published FID.")
 
+    from soft_intro_vae_tpu.data.prefetch import device_prefetch
+
+    # device-side [-1,1] normalization for uint8 feeds: a 256-entry LUT
+    # gather, bit-exact vs the host x/127.5-1 path on every backend (TPU f32
+    # division is reciprocal-based, 1 ULP off — the LUT sidesteps it).
+    # Hoisted out of the epoch loop so jit traces once per batch shape.
+    _lut = np.arange(256, dtype=np.float32) / 127.5 - 1.0
+    cast = jax.jit(lambda u: jnp.asarray(_lut)[u.astype(jnp.int32)])
+
     start = time.time()
     for epoch in range(start_epoch, cfg.train_epochs):
         switched = lod2batch.set_epoch(epoch)
@@ -401,18 +430,42 @@ def train_style_soft_intro_vae(cfg: StyleConfig, dataset: Optional[MultiResImage
 
         vanilla = epoch < cfg.num_vae
         device_metrics = []
-        for batch in dataset.epoch(res, per_dev_total, epoch_index=epoch):
-            blend = lod2batch.get_blend_factor()
-            blended = lod2batch.in_transition and blend < 1.0 and lod > 0
+
+        # Input feed: a prefetch thread prepares and ships batches ahead of
+        # the (async-dispatched) step, so host gather/augment + H2D overlap
+        # chip compute (the reference overlaps via DataLoader workers,
+        # dataloader.py/launcher.py). Blends are precomputed per batch index
+        # (pure function of the driver state — blend_factor_at), so the
+        # producer never mutates lod2batch; the loop's own step() cadence
+        # stays authoritative for report/snapshot ticks. uint8 batches are
+        # normalized to [-1,1] ON DEVICE via a 256-entry LUT (bit-exact vs
+        # the host /127.5-1 path, tests/test_style_uint8.py); float batches
+        # and transition epochs (which blend two resolutions) keep the host
+        # math unchanged.
+        def feed():
+            it = 0
+            for raw in dataset.epoch(res, per_dev_total, epoch_index=epoch):
+                yield raw, lod2batch.blend_factor_at(it)
+                it += global_bs
+
+        def put(item):
+            raw, blend = item
+            blended_ = lod2batch.in_transition and blend < 1.0 and lod > 0
+            if raw.dtype == np.uint8 and not blended_:
+                xb = cast(pmesh.shard_batch(jnp.asarray(raw), mesh))
+            else:
+                x = raw.astype(np.float32) / 127.5 - 1.0
+                if blended_:
+                    # progressive-growth input blend (:342-346)
+                    b, h, w, c = x.shape
+                    x_prev = x.reshape(b, h // 2, 2, w // 2, 2, c).mean(axis=(2, 4))
+                    x_prev2x = np.repeat(np.repeat(x_prev, 2, 1), 2, 2)
+                    x = x * blend + x_prev2x * (1.0 - blend)
+                xb = pmesh.shard_batch(jnp.asarray(x, jnp.float32), mesh)
+            return xb, blend, blended_
+
+        for xb, blend, blended in device_prefetch(feed(), size=2, put_fn=put):
             vanilla_step, intro_step = get_steps(lod, blended, beta_neg)
-            x = batch / 127.5 - 1.0
-            if blended:
-                # progressive-growth input blend (:342-346)
-                b, h, w, c = x.shape
-                x_prev = x.reshape(b, h // 2, 2, w // 2, 2, c).mean(axis=(2, 4))
-                x_prev2x = np.repeat(np.repeat(x_prev, 2, 1), 2, 2)
-                x = x * blend + x_prev2x * (1.0 - blend)
-            xb = pmesh.shard_batch(jnp.asarray(x, jnp.float32), mesh)
             step_fn = vanilla_step if vanilla else intro_step
             state, m = step_fn(state, xb, jnp.asarray(blend, jnp.float32))
             device_metrics.append(m)
@@ -512,7 +565,9 @@ def _make_style_fid(model: StyleModel, cfg: StyleConfig):
                     if seen >= cfg.fid_num_images:
                         break
                     seen += b.shape[0]
-                    yield b / 255.0
+                    # uint8 batches pass through raw — the streaming-stats
+                    # layer normalizes them on device (metrics/fid.py)
+                    yield b if b.dtype == np.uint8 else b / 255.0
             real_cache[res] = compute_statistics_streaming(apply_fn, real_iter())
         mu1, s1 = real_cache[res]
 
