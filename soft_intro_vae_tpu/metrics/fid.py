@@ -416,13 +416,19 @@ def compute_statistics_streaming(apply_fn: Callable, batches: Iterable[np.ndarra
     load_fid_network path) so repeated FID evaluations share ONE compiled
     Inception executable; plain callables are jitted here once per call."""
     fwd = apply_fn if isinstance(apply_fn, jax.stages.Wrapped) else jax.jit(apply_fn)
+    # uint8-storage datasets (data/images.py): normalize via the same
+    # 256-entry LUT gather as prefetch.normalizing_put_fn — bit-exact vs host
+    # numpy /255.0 on every backend (device f32 division is reciprocal-based
+    # and can be 1 ULP off)
+    lut = np.arange(256, dtype=np.float32) / 255.0
+    u8_cast = jax.jit(lambda u: jnp.asarray(lut)[u.astype(jnp.int32)])
     n = 0
     s = None
     ss = None
     for b in batches:
         x = jnp.asarray(b)
-        if x.dtype == jnp.uint8:  # uint8-storage datasets (data/images.py)
-            x = x.astype(jnp.float32) / 255.0
+        if x.dtype == jnp.uint8:
+            x = u8_cast(x)
         a = np.asarray(fwd(x), np.float64)
         if s is None:
             s = a.sum(0)

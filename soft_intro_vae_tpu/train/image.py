@@ -283,6 +283,11 @@ def train_soft_intro_vae(cfg: ImageConfig, dataset: Optional[ArrayDataset] = Non
     summary = dict(best_fid=None, epochs_run=0, fid_metric=fid_name)
     cur_iter = 0
     start = time.time()
+    from soft_intro_vae_tpu.data.prefetch import device_prefetch, normalizing_put_fn
+
+    # built ONCE: the put's jitted LUT cast must persist across epochs or the
+    # fresh wrapper retraces/recompiles every epoch
+    put_fn = normalizing_put_fn(mesh, scan=cfg.scan_steps > 1)
     for epoch in range(cfg.start_epoch, cfg.num_epochs):
         if fid_fn is not None and (epoch == 0 or (epoch >= 100 and epoch % 20 == 0) or epoch == cfg.num_epochs - 1):
             fid = fid_fn(state, dataset, num_images=min(cfg.fid_num_images, len(dataset)))
@@ -319,16 +324,11 @@ def train_soft_intro_vae(cfg: ImageConfig, dataset: Optional[ArrayDataset] = Non
                 yield np.stack(buf)
 
         device_metrics = []
-        from soft_intro_vae_tpu.data.prefetch import device_prefetch, normalizing_put_fn
-
         # uint8-aware put: ships source bytes, normalizes to f32 on device
         # (no-op passthrough for float datasets)
-        if cfg.scan_steps > 1:
-            raw_iter = device_prefetch(host_chunks(), size=2,
-                                       put_fn=normalizing_put_fn(mesh, scan=True))
-        else:
-            raw_iter = device_prefetch(host_batches(), size=2,
-                                       put_fn=normalizing_put_fn(mesh))
+        raw_iter = device_prefetch(
+            host_chunks() if cfg.scan_steps > 1 else host_batches(),
+            size=2, put_fn=put_fn)
         for x in raw_iter:
             k = int(x.shape[0]) if cfg.scan_steps > 1 else 1
             state, m = step_fn(state, x)

@@ -184,10 +184,12 @@ class MultiResImages:
                  storage: str = "float32"):
         assert images_u8.ndim == 4
         if storage == "uint8":
-            # keep source bytes; per-LOD views are rint-rounded to uint8 per
-            # level in at_resolution — the same pixels the reference's
-            # per-LOD TFRecord preparation stores (dataset_tool.py downscale
-            # cascade emits uint8 at every LOD)
+            # keep source bytes; per-LOD views are box-cascaded in float with
+            # one final rint in at_resolution — identical pixels to
+            # data/streaming.py's _downscale_u8_to. (cli/prepare_tfrecords.py's
+            # multires writer re-quantizes to uint8 at EVERY level instead, so
+            # its shards can differ by ±1 LSB after 2+ downscales — both are
+            # valid encodings of the reference's per-LOD prep.)
             self.base = (images_u8 if images_u8.dtype == np.uint8
                          else np.clip(np.rint(images_u8), 0, 255).astype(np.uint8))
         else:
@@ -442,6 +444,11 @@ def train_style_soft_intro_vae(cfg: StyleConfig, dataset: Optional[MultiResImage
         # the host /127.5-1 path, tests/test_style_uint8.py); float batches
         # and transition epochs (which blend two resolutions) keep the host
         # math unchanged.
+        # capture epoch-constant driver state into locals so the prefetch
+        # worker thread never reads mutable LODDriver fields concurrently
+        # with the main loop's step()/is_time_to_save() calls
+        in_transition = lod2batch.in_transition
+
         def feed():
             it = 0
             for raw in dataset.epoch(res, per_dev_total, epoch_index=epoch):
@@ -450,7 +457,7 @@ def train_style_soft_intro_vae(cfg: StyleConfig, dataset: Optional[MultiResImage
 
         def put(item):
             raw, blend = item
-            blended_ = lod2batch.in_transition and blend < 1.0 and lod > 0
+            blended_ = in_transition and blend < 1.0 and lod > 0
             if raw.dtype == np.uint8 and not blended_:
                 xb = cast(pmesh.shard_batch(jnp.asarray(raw), mesh))
             else:
