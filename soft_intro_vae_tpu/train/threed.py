@@ -92,6 +92,12 @@ class ThreeDConfig:
             reconstruction_loss=c.get("reconstruction_loss", cls.reconstruction_loss),
             results_dir=os.path.join(c.get("results_root", "./results"), c.get("arch", "vae"),
                                      c.get("experiment_name", "soft_intro_vae")),
+            # extensions beyond the reference schema (hermetic smoke runs /
+            # TPU knobs) — absent from reference configs, harmless defaults
+            use_synthetic=c.get("use_synthetic", cls.use_synthetic),
+            synthetic_n=c.get("synthetic_n", cls.synthetic_n),
+            verbose=c.get("verbose", cls.verbose),
+            num_devices=c.get("num_devices", cls.num_devices),
         )
 
 

@@ -52,6 +52,74 @@ def test_cli_rejects_unknown_command(tmp_path):
     assert r.returncode != 0
 
 
+def test_bootstrap_cli_runs_synthetic(tmp_path, monkeypatch):
+    # e2e: the bootstrap subcommand through the real argparse surface, tiny
+    # synthetic recipe (reference analog: soft_intro_vae_bootstrap/main.py)
+    from soft_intro_vae_tpu.cli.main import main
+
+    monkeypatch.chdir(tmp_path)
+    main(["bootstrap", "-d", "mnist", "-n", "1", "-z", "8", "-b", "16",
+          "-e", "16", "-g", "1.0", "-o", "1", "-s", "1",
+          "--synthetic-n", "64", "--result_dir", str(tmp_path / "boot_out")])
+    assert os.path.isdir(tmp_path / "boot_out")
+
+
+def test_threed_cli_runs_synthetic(tmp_path, monkeypatch):
+    # e2e: the threed subcommand with a JSON config (the reference's config
+    # schema, soft_intro_vae_3d/config/soft_intro_vae_hp.json), hermetic via
+    # the use_synthetic extension keys
+    import json
+
+    from soft_intro_vae_tpu.cli.main import main
+
+    cfg = {
+        "use_synthetic": True, "synthetic_n": 16, "n_points": 128,
+        "batch_size": 8, "max_epochs": 1, "z_size": 16, "num_vae": 0,
+        "beta_rec": 20.0, "beta_kl": 1.0, "beta_neg": 64.0,
+        "valid_frequency": 1, "seed": 1, "verbose": False,
+        "results_root": str(tmp_path / "3d_results"),
+        "arch": "vae", "experiment_name": "cli_e2e",
+    }
+    p = tmp_path / "hp.json"
+    p.write_text(json.dumps(cfg))
+    monkeypatch.chdir(tmp_path)
+    main(["threed", "-c", str(p)])
+    assert os.path.isdir(tmp_path / "3d_results" / "vae" / "cli_e2e")
+
+
+def test_style_cli_runs_synthetic_epoch(tmp_path, monkeypatch):
+    # e2e: the style subcommand drives one real (tiny) training epoch through
+    # YAML + KEY VALUE overrides — upgrade of the parse-level test below
+    from soft_intro_vae_tpu.cli.main import main
+
+    y = """
+NAME: cli_e2e
+MODEL:
+  LAYER_COUNT: 3
+  START_CHANNEL_COUNT: 8
+  MAX_CHANNEL_COUNT: 32
+  LATENT_SPACE_SIZE: 16
+  MAPPING_LAYERS: 2
+  BETA_NEG: [32, 32, 32]
+  SCALE: 0.0013
+DATASET:
+  SYNTHETIC: true
+  SYNTHETIC_N: 32
+  MAX_RESOLUTION_LEVEL: 4
+TRAIN:
+  EPOCHS_PER_LOD: 1
+  TRAIN_EPOCHS: 2
+  NUM_VAE: 1
+  LOD_2_BATCH_1GPU: [16, 16, 16]
+"""
+    p = tmp_path / "tiny.yaml"
+    p.write_text(y)
+    monkeypatch.chdir(tmp_path)
+    main(["style", "-c", str(p), "OUTPUT_DIR", str(tmp_path / "style_out"),
+          "TRAIN.TRAIN_EPOCHS", "1"])
+    assert os.path.isdir(tmp_path / "style_out")
+
+
 def test_style_cli_dispatches_with_overrides(tmp_path, monkeypatch):
     # parse-level: the style subcommand loads the YAML, applies trailing
     # KEY VALUE overrides (reference launcher.py:49 merge semantics) and
