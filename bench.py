@@ -1,10 +1,16 @@
 """Benchmark: CIFAR-10 Soft-IntroVAE train-step throughput (images/sec/chip).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 
 Recipe = the reference's CIFAR-10 north-star config
 (soft_intro_vae/README.md:66): z_dim=128, beta=(1,1,256), batch 32, full
 introspective E+D double update (12 forwards + 2 backwards per iteration).
+
+The headline "value" is HOST-FED: the step consumes the trainer's real input
+pipeline (50k-image host dataset, epoch shuffle+gather, H2D put, prefetch) —
+the reference's own protocol keeps the DataLoader in the loop
+(train_soft_intro_vae.py:458,508). "value_resident" is the device-resident
+synthetic-data ceiling (rounds 1-4's headline), "feed_efficiency" their ratio.
 
 vs_baseline == vs_torch_cpu: ratio against a reference-equivalent PyTorch
 implementation of the same step on this host's CPU (the reference's own GPU
@@ -96,7 +102,8 @@ def bench_jax(host_fed: bool = False) -> float:
                         yield b
                 epoch_index += 1
 
-        it = device_prefetch(host_stream(), size=2,
+        depth = int(os.environ.get("BENCH_PREFETCH", 2))
+        it = device_prefetch(host_stream(), size=depth,
                              put_fn=normalizing_put_fn(mesh, scan=scan_steps > 1))
         for _ in range(max(1, warmup // scan_steps)):
             state, m = intro_step(state, next(it))
@@ -293,15 +300,25 @@ def get_baselines() -> dict:
 
 
 def main():
-    # BENCH_HOST_FED=1: feed the step through the real input pipeline
-    # (epoch shuffle + gather + H2D + prefetch) instead of device-resident
-    # synthetic data — the BENCH_NOTES "host-fed" row (VERDICT r03 #4)
-    ips = bench_jax(host_fed=os.environ.get("BENCH_HOST_FED", "") == "1")
+    # HEADLINE (VERDICT r4 #1) = the BASELINE.md-protocol number: the step fed
+    # through the REAL input pipeline — 50k-image host dataset, epoch
+    # shuffle+gather, H2D, device_prefetch — matching the reference's
+    # "DataLoader in the loop" measurement (train_soft_intro_vae.py:458,508).
+    # The device-resident synthetic row (rounds 1-4's headline) is emitted
+    # alongside as value_resident; feed_efficiency = value / value_resident.
+    # BENCH_RESIDENT=1 restores the resident-only headline;
+    # BENCH_HOST_FED=1 measures host-fed only (no resident row).
+    resident_only = os.environ.get("BENCH_RESIDENT", "") == "1"
+    host_fed_only = os.environ.get("BENCH_HOST_FED", "") == "1"
+    ips_res = None if host_fed_only else bench_jax(host_fed=False)
+    ips_fed = None if resident_only else bench_jax(host_fed=True)
+    ips = ips_res if resident_only else ips_fed
+
     base = get_baselines()
     torch_cpu = float(base.get("torch_cpu_images_per_sec", 0.0))
     v100 = float(base.get("v100_fp32_bound_images_per_sec", 0.0))
     vs_torch = ips / torch_cpu if torch_cpu > 0 else 1.0
-    print(json.dumps({
+    out = {
         "metric": "cifar10_softintrovae_train_throughput",
         "value": round(ips, 2),
         "unit": "images/sec/chip",
@@ -312,7 +329,12 @@ def main():
         "vs_baseline": round(vs_torch, 2),
         "vs_torch_cpu": round(vs_torch, 2),
         "vs_v100_bound": round(ips / v100, 3) if v100 > 0 else None,
-    }))
+    }
+    if ips_res is not None and ips_fed is not None:
+        out["value_resident"] = round(ips_res, 2)
+        out["feed_efficiency"] = round(ips_fed / ips_res, 3)
+        out["input_pipeline"] = "host-fed (uint8 storage, device LUT normalize)"
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

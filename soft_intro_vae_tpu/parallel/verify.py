@@ -91,6 +91,102 @@ def sgd_gradient_probe(num_devices: Optional[int] = None,
     return grads
 
 
+def style_step_probe(num_devices: Optional[int] = None,
+                     global_batch: Optional[int] = None,
+                     steps: int = 2,
+                     start_step: int = 0,
+                     save_dir: Optional[str] = None,
+                     restore_dir: Optional[str] = None,
+                     data_seed: int = 0):
+    """Run ``steps`` style introspective steps with SGD(lr=1) over a mesh.
+
+    The style analog of :func:`sgd_gradient_probe`, exercising everything the
+    image probe cannot: the ``StyleTrainState`` pytree (EMA param trees,
+    ``dlatent_avg`` buffers threaded through the step, in-step EMA lerp), the
+    traced progressive-growth ``blend`` scalar, and the style mixing/noise RNG
+    chain. Reference analog: the style launcher's DDP workers
+    (style_soft_intro_vae/launcher.py:26-29,125-129) plus its checkpointer
+    save/load (checkpointer.py:87-113).
+
+    Cross-process-count resume: pass ``save_dir`` to checkpoint after the
+    first executed step (process-0-gated write), and ``restore_dir`` +
+    ``start_step=1`` in a DIFFERENT process/device layout to restore that
+    checkpoint, re-shard onto the local mesh, and run the remaining step —
+    the mesh-reshape-resume path (save under 2 processes, restore under 1).
+
+    Returns a dict of host arrays: ``delta_e_*``/``delta_d_*`` (init params
+    minus final — the accumulated all-reduced SGD gradients), ``ema_e_*``/
+    ``ema_d_*``, ``dlatent_avg``, ``ema_dlatent_avg`` and ``step``. Every
+    process returns the identical replicated result.
+    """
+    import optax
+
+    from soft_intro_vae_tpu.train.style_step import (
+        StyleModel, StyleModelConfig, StyleStepConfig, StyleTrainState,
+        build_style_steps)
+    from soft_intro_vae_tpu.utils.checkpoint import Checkpointer
+
+    mesh = pmesh.make_data_mesh(num_devices)
+    n = mesh.devices.size
+    if global_batch is None:
+        global_batch = 2 * n
+
+    mc = StyleModelConfig(startf=8, maxf=16, layer_count=2, latent_size=8,
+                          mapping_layers=2)
+    model = StyleModel(mc)
+    opt = optax.sgd(1.0)
+    params_e, params_d, buffers = model.init_params(jax.random.key(1))
+    copy = lambda t: jax.tree_util.tree_map(lambda x: x.copy(), t)
+    state = StyleTrainState(
+        step=jnp.zeros((), jnp.int32),
+        params_e=params_e, params_d=params_d, buffers=buffers,
+        ema_e=copy(params_e), ema_d=copy(params_d), ema_buffers=copy(buffers),
+        opt_e=opt.init(params_e), opt_d=opt.init(params_d),
+        lr=jnp.asarray(1.0, jnp.float32),
+        ema_beta=jnp.asarray(0.5 ** (global_batch / 10000.0), jnp.float32),
+        rng=jax.random.key(3))
+    init = jax.device_get((state.params_e, state.params_d))
+
+    # lod=1 (the model's top LOD at layer_count=2) on the BLEND program:
+    # blend is a traced scalar, so the transition path compiles once and the
+    # probe exercises the progressive-growth branch the image probe lacks
+    lod, res = 1, model.layer_to_resolution[1]
+    scfg = StyleStepConfig(latent_size=mc.latent_size, scale=1.0 / (3 * res * res))
+    _, intro = build_style_steps(model, scfg, lod=lod, blended=True, optimizer=opt)
+
+    if restore_dir is not None:
+        restored, _, _ = Checkpointer(restore_dir).load_latest(state)
+        state = restored
+    state = pmesh.shard_state(state, mesh)
+
+    ckpt = Checkpointer(save_dir) if save_dir is not None else None
+    for i in range(start_step, steps):
+        x_global = (np.random.default_rng(data_seed + i)
+                    .random((global_batch, res, res, 3)).astype(np.float32) * 2.0 - 1.0)
+        if jax.process_count() > 1:
+            per = global_batch // jax.process_count()
+            x_local = x_global[jax.process_index() * per:(jax.process_index() + 1) * per]
+        else:
+            x_local = x_global
+        x = pmesh.shard_batch(x_local, mesh)
+        state, _ = intro(state, x, jnp.asarray(0.5, jnp.float32))
+        if ckpt is not None and i == start_step:
+            ckpt.save(state, epoch=0, iteration=i + 1)
+            ckpt.wait()
+
+    after = jax.device_get((state.params_e, state.params_d))
+    delta = jax.tree_util.tree_map(lambda a, b: a - b, init, after)
+    out = {"step": np.asarray(jax.device_get(state.step))}
+    for tree, name in ((delta[0], "delta_e"), (delta[1], "delta_d"),
+                       (jax.device_get(state.ema_e), "ema_e"),
+                       (jax.device_get(state.ema_d), "ema_d")):
+        for j, leaf in enumerate(jax.tree_util.tree_leaves(tree)):
+            out[f"{name}_{j}"] = np.asarray(leaf)
+    out["dlatent_avg"] = np.asarray(jax.device_get(state.buffers["dlatent_avg"]))
+    out["ema_dlatent_avg"] = np.asarray(jax.device_get(state.ema_buffers["dlatent_avg"]))
+    return out
+
+
 def compare_gradient_trees(got, want, rtol: float = 1e-3) -> None:
     """Assert per-leaf relative-L2 equality of two gradient pytrees.
 

@@ -27,9 +27,28 @@ jax.config.update("jax_platforms", "cpu")
 import numpy as np  # noqa: E402
 
 
+def run_style(process_id: int, num_processes: int, outdir: str,
+              restore_dir: str) -> None:
+    """Style-variant leg (VERDICT r4 #4): two style introspective steps on the
+    global mesh — StyleTrainState (EMA trees, dlatent_avg buffers), traced
+    blend — with a process-0-gated checkpoint after step 1. ``restore_dir``
+    non-empty = mesh-reshape resume: restore another layout's step-1
+    checkpoint into THIS layout's mesh and run only step 2."""
+    from soft_intro_vae_tpu.parallel.verify import style_step_probe
+
+    if restore_dir:
+        out = style_step_probe(restore_dir=restore_dir, start_step=1)
+    else:
+        out = style_step_probe(save_dir=os.path.join(outdir, "ckpt_style"))
+    tag = "resumed_" if restore_dir else ""
+    np.savez(os.path.join(outdir, f"style_{tag}p{process_id}of{num_processes}.npz"), **out)
+
+
 def main() -> None:
     coordinator, process_id, num_processes, outdir = (
         sys.argv[1], int(sys.argv[2]), int(sys.argv[3]), sys.argv[4])
+    mode = sys.argv[5] if len(sys.argv) > 5 else "image"
+    restore_dir = sys.argv[6] if len(sys.argv) > 6 else ""
 
     if num_processes > 1:
         jax.distributed.initialize(coordinator_address=coordinator,
@@ -37,6 +56,13 @@ def main() -> None:
                                    process_id=process_id)
         assert jax.process_count() == num_processes
         assert jax.process_index() == process_id
+
+    if mode == "style":
+        run_style(process_id, num_processes, outdir, restore_dir)
+        with open(os.path.join(outdir, f"done_p{process_id}of{num_processes}.json"), "w") as f:
+            json.dump({"process_index": jax.process_index(),
+                       "process_count": jax.process_count(), "mode": "style"}, f)
+        return
 
     from soft_intro_vae_tpu.parallel.verify import sgd_gradient_probe
     from soft_intro_vae_tpu.train.state import TrainState  # noqa: F401

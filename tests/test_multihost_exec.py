@@ -8,49 +8,24 @@ that layer).
 
 Also proves process-0-gated checkpointing: both workers call
 ``Checkpointer.save``; exactly one writes.
+
+The style-variant leg + mesh-reshape resume lives in
+test_multihost_style_exec.py (own file so each stays inside the per-file
+wall budget — tests/README.md tier table).
 """
 
 import glob
 import os
-import socket
-import subprocess
-import sys
 
 import numpy as np
 import pytest
 
-WORKER = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
-REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+from multihost_launch import free_port, launch, load_dump, wait_all
 
 
-def _free_port() -> int:
-    with socket.socket() as s:
-        s.bind(("127.0.0.1", 0))
-        return s.getsockname()[1]
-
-
-def _env(local_devices: int) -> dict:
-    env = dict(os.environ)
-    env["JAX_PLATFORMS"] = "cpu"
-    env["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={local_devices}"
-    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
-    return env
-
-
-def _launch(coordinator, pid, nprocs, outdir, local_devices):
-    return subprocess.Popen(
-        [sys.executable, WORKER, coordinator, str(pid), str(nprocs), str(outdir)],
-        env=_env(local_devices), cwd=REPO,
-        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
-
-
-def _load_grads(path):
-    with np.load(path) as z:
-        return {k: z[k] for k in z.files}
-
-
+@pytest.mark.multihost
 def test_two_process_distributed_gradient_matches_single_process(tmp_path):
-    port = _free_port()
+    port = free_port()
     coordinator = f"127.0.0.1:{port}"
     mp_dir, sp_dir = tmp_path / "mp", tmp_path / "sp"
     mp_dir.mkdir()
@@ -59,23 +34,13 @@ def test_two_process_distributed_gradient_matches_single_process(tmp_path):
     # leg 1: 2 processes x 2 local devices = 4-device global mesh;
     # leg 2: 1 process x 4 local devices — same global step, no rendezvous.
     # All three OS processes run concurrently (independent runtimes).
-    procs = [_launch(coordinator, i, 2, mp_dir, local_devices=2) for i in range(2)]
-    procs.append(_launch("unused", 0, 1, sp_dir, local_devices=4))
-    outs = []
-    try:
-        for p in procs:
-            out, _ = p.communicate(timeout=540)
-            outs.append(out)
-    finally:
-        for p in procs:
-            if p.poll() is None:
-                p.kill()
-    for p, out in zip(procs, outs):
-        assert p.returncode == 0, f"worker failed:\n{out}"
+    procs = [launch(coordinator, i, 2, mp_dir, local_devices=2) for i in range(2)]
+    procs.append(launch("unused", 0, 1, sp_dir, local_devices=4))
+    wait_all(procs)
 
-    g0 = _load_grads(mp_dir / "grads_p0of2.npz")
-    g1 = _load_grads(mp_dir / "grads_p1of2.npz")
-    gref = _load_grads(sp_dir / "grads_p0of1.npz")
+    g0 = load_dump(mp_dir / "grads_p0of2.npz")
+    g1 = load_dump(mp_dir / "grads_p1of2.npz")
+    gref = load_dump(sp_dir / "grads_p0of1.npz")
     assert set(g0) == set(g1) == set(gref) and len(gref) > 0
 
     for k in gref:

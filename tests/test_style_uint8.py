@@ -17,13 +17,12 @@ equivalence claims:
 """
 
 import numpy as np
-import pytest
 
 import jax
 import jax.numpy as jnp
 
 from soft_intro_vae_tpu.train.lod import LODDriver
-from soft_intro_vae_tpu.train.style import MultiResImages, StyleConfig, train_style_soft_intro_vae
+from soft_intro_vae_tpu.train.style import MultiResImages
 
 
 def test_device_lut_matches_host_normalization():
@@ -89,43 +88,6 @@ def test_streaming_uint8_yields_same_bytes(tmp_path):
         np.testing.assert_array_equal(bu.astype(np.float32), bf)
 
 
-def _tiny_cfg(out_dir, **kw):
-    base = dict(
-        layer_count=2, start_channel_count=8, max_channel_count=16,
-        latent_space_size=8, mapping_layers=2, epochs_per_lod=2,
-        train_epochs=4, num_vae=1, beta_neg=(32, 32),
-        scale=1.0 / (3 * 8**2), use_synthetic=True, synthetic_n=32,
-        max_resolution_level=3, output_dir=str(out_dir),
-        lod_2_batch_tables={"1GPU": [8, 8]}, verbose=False, seed=0,
-        snapshot_freq=(10**9,) * 9,
-    )
-    base.update(kw)
-    return StyleConfig(**base)
-
-
-@pytest.mark.slow
-def test_style_training_identical_under_uint8_feed(tmp_path):
-    """Full tiny progressive runs (LOD switch + transition epochs included):
-    uint8 vs float32 host storage => identical trained params.
-
-    The synthetic dataset is built from the SAME uint8 base both times, at
-    the max stored resolution == model resolution, so pixels agree exactly;
-    the run covers both the device-LUT path (non-blend epochs) and the host
-    blend path (transition epochs)."""
-    from soft_intro_vae_tpu.cli.prepare_tfrecords import write_multires_shards
-
-    rng = np.random.default_rng(7)
-    imgs = rng.integers(0, 256, (32, 8, 8, 3), dtype=np.uint8)
-    write_multires_shards(imgs, str(tmp_path / "sh"), "toy", 3, parts=1)
-    pattern = str(tmp_path / "sh" / "toy-r%02d.tfrecords.%03d")
-
-    results = []
-    for storage in ("uint8", "float32"):
-        cfg = _tiny_cfg(tmp_path / f"out_{storage}", use_synthetic=False,
-                        dataset_path=pattern, part_count=1, dataset_size=32,
-                        host_storage=storage, flip_images=False, resume=False)
-        state, _ = train_style_soft_intro_vae(cfg)
-        results.append(jax.tree_util.tree_map(np.asarray, state.params_d))
-    for a, b in zip(jax.tree_util.tree_leaves(results[0]),
-                    jax.tree_util.tree_leaves(results[1])):
-        np.testing.assert_array_equal(a, b)
+# The e2e half (full tiny progressive runs, uint8 vs float32 => identical
+# trained params) lives in test_style_uint8_train.py so neither file exceeds
+# the per-file wall-time budget (tests/README.md).
