@@ -37,7 +37,11 @@ ITERS = 60
 CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_baseline_cache.json")
 
 
-def bench_jax(host_fed: bool = False) -> float:
+def bench_jax(host_fed: bool = False, both: bool = False):
+    """Measure step throughput; with ``both=True`` return (resident, host_fed)
+    from ONE build — the remote-TPU model build + step compile costs ~2.5 min
+    through the tunnel, so the two rows share the compiled program (which also
+    makes feed_efficiency a same-program comparison)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -68,7 +72,29 @@ def bench_jax(host_fed: bool = False) -> float:
     launches = max(1, iters // scan_steps)
     n_chips = mesh.devices.size
 
-    if host_fed:
+    results = {}
+
+    if both or not host_fed:
+        rng = np.random.default_rng(0)
+        if scan_steps > 1:
+            x = pmesh.shard_scan_batch(
+                jnp.asarray(rng.random((scan_steps, batch, IMAGE, IMAGE, 3), np.float32)), mesh)
+        else:
+            x = pmesh.shard_batch(jnp.asarray(rng.random((batch, IMAGE, IMAGE, 3), np.float32)), mesh)
+        for _ in range(max(1, warmup // scan_steps)):
+            state, m = intro_step(state, x)
+        # hard sync via a value fetch: on the axon platform block_until_ready
+        # returns before execution finishes, so fetching a scalar that depends
+        # on the full donated-state chain is the only honest fence
+        float(np.asarray(m["loss_e"]).ravel()[-1])
+        t0 = time.perf_counter()
+        for _ in range(launches):
+            state, m = intro_step(state, x)
+        float(np.asarray(m["loss_e"]).ravel()[-1])
+        dt = time.perf_counter() - t0
+        results["resident"] = batch * scan_steps * launches / dt / n_chips
+
+    if both or host_fed:
         # HOST-FED row: the step is fed through the trainer's real input
         # pipeline — a 50k-image host dataset (CIFAR residency, the same
         # layout load_cifar10 produces), ArrayDataset.epoch shuffle + gather,
@@ -113,27 +139,11 @@ def bench_jax(host_fed: bool = False) -> float:
             state, m = intro_step(state, next(it))
         float(np.asarray(m["loss_e"]).ravel()[-1])
         dt = time.perf_counter() - t0
-        return batch * scan_steps * launches / dt / n_chips
+        results["host_fed"] = batch * scan_steps * launches / dt / n_chips
 
-    rng = np.random.default_rng(0)
-    if scan_steps > 1:
-        x = pmesh.shard_scan_batch(
-            jnp.asarray(rng.random((scan_steps, batch, IMAGE, IMAGE, 3), np.float32)), mesh)
-    else:
-        x = pmesh.shard_batch(jnp.asarray(rng.random((batch, IMAGE, IMAGE, 3), np.float32)), mesh)
-
-    for _ in range(max(1, warmup // scan_steps)):
-        state, m = intro_step(state, x)
-    # hard sync via a value fetch: on the axon platform block_until_ready
-    # returns before execution finishes, so fetching a scalar that depends on
-    # the full donated-state chain is the only honest fence
-    float(np.asarray(m["loss_e"]).ravel()[-1])
-    t0 = time.perf_counter()
-    for _ in range(launches):
-        state, m = intro_step(state, x)
-    float(np.asarray(m["loss_e"]).ravel()[-1])
-    dt = time.perf_counter() - t0
-    return batch * scan_steps * launches / dt / n_chips
+    if both:
+        return results["resident"], results["host_fed"]
+    return results["host_fed"] if host_fed else results["resident"]
 
 
 def bench_torch_cpu(max_seconds: float = 120.0) -> float:
@@ -310,8 +320,12 @@ def main():
     # BENCH_HOST_FED=1 measures host-fed only (no resident row).
     resident_only = os.environ.get("BENCH_RESIDENT", "") == "1"
     host_fed_only = os.environ.get("BENCH_HOST_FED", "") == "1"
-    ips_res = None if host_fed_only else bench_jax(host_fed=False)
-    ips_fed = None if resident_only else bench_jax(host_fed=True)
+    if resident_only:
+        ips_res, ips_fed = bench_jax(host_fed=False), None
+    elif host_fed_only:
+        ips_res, ips_fed = None, bench_jax(host_fed=True)
+    else:
+        ips_res, ips_fed = bench_jax(both=True)  # one build, both rows
     ips = ips_res if resident_only else ips_fed
 
     base = get_baselines()
