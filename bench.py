@@ -98,14 +98,15 @@ def bench_jax(host_fed: bool = False, both: bool = False):
         # HOST-FED row: the step is fed through the trainer's real input
         # pipeline — a 50k-image host dataset (CIFAR residency, the same
         # layout load_cifar10 produces), ArrayDataset.epoch shuffle + gather,
-        # H2D via the trainer's normalizing put (uint8 storage + on-device
-        # f32/255 by default — ImageConfig.host_storage), device_prefetch
-        # overlap — the exact path train/image.py:300-332 runs. Matches the
-        # reference protocol (DataLoader in the loop,
-        # train_soft_intro_vae.py:458,508). BENCH_HOST_DTYPE=float32 measures
-        # the host-normalized f32 feed instead (the documented slow row).
+        # H2D via the trainer's shard-only put (uint8 raw bytes by default —
+        # ImageConfig.host_storage — normalized IN-STEP by the LUT gather that
+        # build_image_training wires in), device_prefetch overlap — the exact
+        # path train/image.py:300-332 runs. Matches the reference protocol
+        # (DataLoader in the loop, train_soft_intro_vae.py:458,508).
+        # BENCH_HOST_DTYPE=float32 measures the host-normalized f32 feed
+        # instead (the documented slow row).
         from soft_intro_vae_tpu.data.images import ArrayDataset
-        from soft_intro_vae_tpu.data.prefetch import device_prefetch, normalizing_put_fn
+        from soft_intro_vae_tpu.data.prefetch import device_prefetch, sharding_put_fn
 
         rng = np.random.default_rng(0)
         host_dtype = os.environ.get("BENCH_HOST_DTYPE", "uint8")
@@ -130,7 +131,7 @@ def bench_jax(host_fed: bool = False, both: bool = False):
 
         depth = int(os.environ.get("BENCH_PREFETCH", 2))
         it = device_prefetch(host_stream(), size=depth,
-                             put_fn=normalizing_put_fn(mesh, scan=scan_steps > 1))
+                             put_fn=sharding_put_fn(mesh, scan=scan_steps > 1))
         for _ in range(max(1, warmup // scan_steps)):
             state, m = intro_step(state, next(it))
         float(np.asarray(m["loss_e"]).ravel()[-1])
@@ -347,7 +348,7 @@ def main():
     if ips_res is not None and ips_fed is not None:
         out["value_resident"] = round(ips_res, 2)
         out["feed_efficiency"] = round(ips_fed / ips_res, 3)
-        out["input_pipeline"] = "host-fed (uint8 storage, device LUT normalize)"
+        out["input_pipeline"] = "host-fed (uint8 raw-byte feed, in-step LUT normalize)"
     print(json.dumps(out))
 
 

@@ -80,3 +80,22 @@ def normalizing_put_fn(mesh, scan: bool = False) -> Callable:
         return x
 
     return put
+
+
+def sharding_put_fn(mesh, scan: bool = False) -> Callable:
+    """H2D put that ONLY shards — uint8 batches ship as raw bytes, dtype
+    untouched. Pair with a train step built with ``input_lut`` (see
+    train/step.py build_train_steps): normalization then happens INSIDE the
+    compiled step, so the feed path is one device_put per batch with no
+    separate normalize dispatch — on the tunneled TPU host each extra
+    dispatch is a round-trip, and this shaves it off the host-fed step."""
+    import jax.numpy as jnp
+
+    from soft_intro_vae_tpu.parallel import mesh as pmesh
+
+    place = pmesh.shard_scan_batch if scan else pmesh.shard_batch
+
+    def put(batch):
+        return place(jnp.asarray(batch), mesh)
+
+    return put

@@ -176,10 +176,16 @@ def build_image_training(cfg: ImageConfig, spec: ImageSpec):
         loss_type=cfg.recon_loss_type,
         bootstrap=cfg.bootstrap,
     )
+    # uint8 host storage: the step normalizes raw bytes in-program via a LUT
+    # gather (bit-exact vs host /255; see build_train_steps) — the feed is one
+    # device_put, no separate normalize dispatch. Float datasets pass through.
+    lut = (np.arange(256, dtype=np.float32) / 255.0
+           if cfg.host_storage == "uint8" else None)
     vanilla_step, intro_step = build_train_steps(
         encode=encode, decode=decode, optimizer=opt, cfg=step_cfg,
         decode_target=decode if cfg.bootstrap else None,
         scan_steps=cfg.scan_steps,
+        input_lut=lut,
     )
 
     mesh = pmesh.make_data_mesh(cfg.num_devices)
@@ -206,7 +212,10 @@ def _save_sample_grid(enc, dec, state: TrainState, batch: "np.ndarray", cfg: Ima
     from soft_intro_vae_tpu.utils.plotting import save_image_grid
 
     n = min(batch.shape[0], 16)
-    x = jnp.asarray(batch[:n])
+    sample = batch[:n]
+    if sample.dtype == np.uint8:  # raw-byte feed path: normalize on host
+        sample = sample.astype(np.float32) / 255.0
+    x = jnp.asarray(sample)
     mu, _ = enc.apply({"params": state.params_e, "batch_stats": state.stats_e}, x, train=False)
     rec_det = dec.apply({"params": state.params_d, "batch_stats": state.stats_d}, mu, train=False)
     k = jax.random.fold_in(state.rng, 2**20 + cur_iter)
@@ -283,11 +292,12 @@ def train_soft_intro_vae(cfg: ImageConfig, dataset: Optional[ArrayDataset] = Non
     summary = dict(best_fid=None, epochs_run=0, fid_metric=fid_name)
     cur_iter = 0
     start = time.time()
-    from soft_intro_vae_tpu.data.prefetch import device_prefetch, normalizing_put_fn
+    from soft_intro_vae_tpu.data.prefetch import device_prefetch, sharding_put_fn
 
-    # built ONCE: the put's jitted LUT cast must persist across epochs or the
-    # fresh wrapper retraces/recompiles every epoch
-    put_fn = normalizing_put_fn(mesh, scan=cfg.scan_steps > 1)
+    # built ONCE and reused across epochs. Shard-only put: uint8 batches ship
+    # as raw bytes and the STEP normalizes them in-program (input_lut in
+    # build_image_training) — one H2D put per batch, no extra dispatch.
+    put_fn = sharding_put_fn(mesh, scan=cfg.scan_steps > 1)
     for epoch in range(cfg.start_epoch, cfg.num_epochs):
         if fid_fn is not None and (epoch == 0 or (epoch >= 100 and epoch % 20 == 0) or epoch == cfg.num_epochs - 1):
             fid = fid_fn(state, dataset, num_images=min(cfg.fid_num_images, len(dataset)))

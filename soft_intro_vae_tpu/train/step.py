@@ -123,6 +123,7 @@ def build_train_steps(
     decode_target: Optional[DecodeFn] = None,
     donate: bool = True,
     scan_steps: int = 1,
+    input_lut=None,
 ):
     """Returns ``(vanilla_step, intro_step)``, each jitted:
     ``step(state: TrainState, x: Array) -> (TrainState, metrics: dict)``.
@@ -130,15 +131,37 @@ def build_train_steps(
     With ``scan_steps > 1`` the signature becomes
     ``step(state, xs: (K, B, ...)) -> (state, metrics: (K,) each)`` — K exact
     reference steps fused into one XLA program (one device launch).
+
+    ``input_lut`` (a 256-entry float table, e.g. ``arange(256)/255``) lets the
+    step accept RAW uint8 batches and normalize them INSIDE the compiled
+    program via a LUT gather — the H2D feed ships source bytes (4x fewer than
+    f32) and the separate on-device normalize launch disappears (on the
+    tunneled TPU host each extra dispatch costs a round-trip; see
+    data/prefetch.py normalizing_put_fn for the standalone variant). The
+    gather reproduces host numpy normalization BIT-EXACTLY (TPU f32 division
+    is reciprocal-based and 1 ULP off), so training traces are identical to
+    feeding pre-normalized f32 — pinned by tests/test_uint8_pipeline.py.
+    Float inputs pass through untouched (dtype is a static trace-time check).
     """
     if cfg.bootstrap and decode_target is None:
         raise ValueError("bootstrap=True requires decode_target")
+    if input_lut is not None:
+        _lut = jnp.asarray(input_lut, jnp.float32)
+        if _lut.shape != (256,):
+            raise ValueError(f"input_lut must have shape (256,), got {_lut.shape}")
+
+        def _norm(x: Array) -> Array:
+            return _lut[x.astype(jnp.int32)] if x.dtype == jnp.uint8 else x
+    else:
+        def _norm(x: Array) -> Array:
+            return x
     recon_mean, recon_per_sample = _make_recon_fns(cfg.loss_type, cfg.chamfer_impl)
     kl_mean = partial(kl_divergence, logvar_o=cfg.prior_logvar, reduce="mean")
     kl_none = partial(kl_divergence, logvar_o=cfg.prior_logvar, reduce="none")
 
     # ---------------- vanilla VAE warm-up step ----------------
     def vanilla_step(state: TrainState, x: Array):
+        x = _norm(x)
         k = jax.random.fold_in(state.rng, state.step)
         eps = jax.random.normal(jax.random.fold_in(k, 0), (x.shape[0], cfg.z_dim), jnp.float32)
 
@@ -188,6 +211,7 @@ def build_train_steps(
         (keys: noise, eps_real, eps_e_rec, eps_e_fake, eps_d_z, eps_d_rec,
         eps_d_fake) — the golden-value parity hook (SURVEY §7: inject
         identical noise into reference and rebuild, compare losses)."""
+        x = _norm(x)
         b = x.shape[0]
         k = jax.random.fold_in(state.rng, state.step)
         ks = jax.random.split(k, 7)

@@ -75,6 +75,36 @@ def test_intro_step_identical_under_uint8_feed():
         np.testing.assert_array_equal(a, b)
 
 
+@pytest.mark.slow
+def test_intro_step_raw_byte_feed_in_step_lut():
+    """The round-5 feed path: raw uint8 shipped via sharding_put_fn and
+    normalized INSIDE the compiled step (input_lut in build_train_steps) must
+    produce bit-identical updates to feeding pre-normalized f32 through the
+    same step (dtype passthrough). This is the trainer's default wiring
+    (train/image.py:300) — one device_put per batch, no normalize dispatch."""
+    from soft_intro_vae_tpu.data.prefetch import sharding_put_fn
+    from soft_intro_vae_tpu.train.image import ImageConfig, build_image_training
+
+    spec = ImageSpec("t", 16, (8, 16), 3)
+    rng = np.random.default_rng(13)
+    u8 = rng.integers(0, 256, (16, 16, 16, 3), dtype=np.uint8)
+
+    results = []
+    for batch in (u8, u8.astype(np.float32) / 255.0):
+        cfg = ImageConfig(dataset="cifar10", z_dim=8, batch_size=16, seed=0,
+                          beta_neg=16.0, host_storage="uint8")
+        _, _, state, _, intro, mesh = build_image_training(cfg, spec)
+        x = sharding_put_fn(mesh)(batch)
+        assert np.asarray(x).dtype == batch.dtype  # put ships bytes untouched
+        state, m = intro(state, x)
+        results.append((jax.tree_util.tree_map(np.asarray, state.params_e),
+                        {k: float(v) for k, v in m.items()}))
+    (pa, ma), (pb, mb) = results
+    assert ma == mb
+    for a, b in zip(jax.tree_util.tree_leaves(pa), jax.tree_util.tree_leaves(pb)):
+        np.testing.assert_array_equal(a, b)
+
+
 def test_fid_streaming_stats_uint8_matches_f32():
     from soft_intro_vae_tpu.metrics.fid import compute_statistics_streaming
 

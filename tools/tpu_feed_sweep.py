@@ -36,7 +36,7 @@ def main():
     import numpy as np
 
     from soft_intro_vae_tpu.data.images import ArrayDataset, ImageSpec
-    from soft_intro_vae_tpu.data.prefetch import device_prefetch, normalizing_put_fn
+    from soft_intro_vae_tpu.data.prefetch import device_prefetch, sharding_put_fn
     from soft_intro_vae_tpu.parallel import mesh as pmesh
     from soft_intro_vae_tpu.train.image import ImageConfig, build_image_training
 
@@ -96,7 +96,7 @@ def main():
 
     for depth in depths:
         it = device_prefetch(host_stream(), size=depth,
-                             put_fn=normalizing_put_fn(mesh, scan=scan_steps > 1))
+                             put_fn=sharding_put_fn(mesh, scan=scan_steps > 1))
         for _ in range(max(1, WARMUP_STEPS // scan_steps)):
             state, m = intro_step(state, next(it))
         float(np.asarray(m["loss_e"]).ravel()[-1])

@@ -61,7 +61,7 @@ def make_cfg(dtype: str, remat: bool):
     from soft_intro_vae_tpu.train.style import StyleConfig
 
     return StyleConfig.from_yaml(CFG_YAML, overrides=[
-        "MODEL.COMPUTE_DTYPE", dtype,
+        "TRAIN.COMPUTE_DTYPE", dtype,
         "TRAIN.REMAT", "true" if remat else "false",
         "DATASET.SYNTHETIC", "true",
     ])
