@@ -32,8 +32,8 @@ BATCH = 32
 ZDIM = 128
 IMAGE = 32
 CH = (64, 128, 256)
-WARMUP = 10
-ITERS = 60
+WARMUP = 24
+ITERS = 480  # ~3s on-chip at ~5.8ms/step; short windows were noise-prone
 CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_baseline_cache.json")
 
 
@@ -51,9 +51,15 @@ def bench_jax(host_fed: bool = False, both: bool = False):
     from soft_intro_vae_tpu.train.image import ImageConfig, build_image_training
 
     # exploration knobs (BENCH_NOTES rows); driver default = reference-exact
-    # f32 single-step recipe
+    # f32 recipe with scan_steps=8: 8 EXACT reference steps fused per launch
+    # (update-parity pinned by tests/test_step.py) — the feed chunk (8 host
+    # batches, one uint8 H2D) overlaps fully with the ~46ms launch, closing
+    # the host-fed gap the per-put tunnel latency opens at scan=1 (~3.8ms
+    # latency + wire ≥ one 5.8ms step; tools/tpu_h2d_probe.py additivity
+    # rows, BENCH_NOTES.md "Feed gap"). BENCH_SCAN_STEPS=1 restores the
+    # one-launch-per-step cadence.
     batch = int(os.environ.get("BENCH_BATCH", BATCH))
-    scan_steps = int(os.environ.get("BENCH_SCAN_STEPS", 1))
+    scan_steps = int(os.environ.get("BENCH_SCAN_STEPS", 8))
     dtype = os.environ.get("BENCH_DTYPE", "float32")
 
     spec = ImageSpec("cifar10", IMAGE, CH, 3)
@@ -75,12 +81,15 @@ def bench_jax(host_fed: bool = False, both: bool = False):
     results = {}
 
     if both or not host_fed:
+        # resident row feeds uint8 (the trainer's default storage) so both
+        # rows run the SAME compiled program — in-step bit-exact normalize
+        # included (ops/u8norm.py) — and feed_efficiency isolates the feed.
         rng = np.random.default_rng(0)
-        if scan_steps > 1:
-            x = pmesh.shard_scan_batch(
-                jnp.asarray(rng.random((scan_steps, batch, IMAGE, IMAGE, 3), np.float32)), mesh)
-        else:
-            x = pmesh.shard_batch(jnp.asarray(rng.random((batch, IMAGE, IMAGE, 3), np.float32)), mesh)
+        shape = ((scan_steps, batch, IMAGE, IMAGE, 3) if scan_steps > 1
+                 else (batch, IMAGE, IMAGE, 3))
+        xr = np.round(rng.random(shape, np.float32) * 255.0).astype(np.uint8)
+        place = pmesh.shard_scan_batch if scan_steps > 1 else pmesh.shard_batch
+        x = place(jnp.asarray(xr), mesh)
         for _ in range(max(1, warmup // scan_steps)):
             state, m = intro_step(state, x)
         # hard sync via a value fetch: on the axon platform block_until_ready
@@ -348,7 +357,8 @@ def main():
     if ips_res is not None and ips_fed is not None:
         out["value_resident"] = round(ips_res, 2)
         out["feed_efficiency"] = round(ips_fed / ips_res, 3)
-        out["input_pipeline"] = "host-fed (uint8 raw-byte feed, in-step LUT normalize)"
+        out["input_pipeline"] = "host-fed (uint8 raw-byte feed, in-step bit-exact normalize)"
+    out["scan_steps"] = int(os.environ.get("BENCH_SCAN_STEPS", 8))
     print(json.dumps(out))
 
 

@@ -146,12 +146,27 @@ def build_train_steps(
     if cfg.bootstrap and decode_target is None:
         raise ValueError("bootstrap=True requires decode_target")
     if input_lut is not None:
-        _lut = jnp.asarray(input_lut, jnp.float32)
-        if _lut.shape != (256,):
-            raise ValueError(f"input_lut must have shape (256,), got {_lut.shape}")
+        import numpy as np
 
-        def _norm(x: Array) -> Array:
-            return _lut[x.astype(jnp.int32)] if x.dtype == jnp.uint8 else x
+        lut_host = np.asarray(input_lut, np.float32)
+        if lut_host.shape != (256,):
+            raise ValueError(f"input_lut must have shape (256,), got {lut_host.shape}")
+        if np.array_equal(lut_host,
+                          np.arange(256, dtype=np.uint8).astype(np.float32)
+                          / np.float32(255)):
+            # canonical unit table: use the gather-free bit-exact construction
+            # (ops/u8norm.py) — the 256-entry gather costs ~0.9 ms/step on the
+            # CIFAR north-star program (XLA:TPU lowers small-table gathers
+            # through the scalar path; BENCH_NOTES.md "Feed gap")
+            from soft_intro_vae_tpu.ops.u8norm import u8_to_unit_f32
+
+            def _norm(x: Array) -> Array:
+                return u8_to_unit_f32(x) if x.dtype == jnp.uint8 else x
+        else:
+            _lut = jnp.asarray(lut_host)
+
+            def _norm(x: Array) -> Array:
+                return _lut[x.astype(jnp.int32)] if x.dtype == jnp.uint8 else x
     else:
         def _norm(x: Array) -> Array:
             return x

@@ -30,6 +30,18 @@ def test_to_unit_float_roundtrip_exact():
     assert f2 is f
 
 
+def test_u8norm_bit_trick_exact_all_values():
+    """ops/u8norm.py gather-free normalize == host numpy /255 for every byte
+    (the in-step fast path build_train_steps picks for the unit table)."""
+    from soft_intro_vae_tpu.ops.u8norm import u8_to_unit_f32
+
+    xs = jnp.arange(256, dtype=jnp.uint8)
+    dev = np.asarray(jax.jit(u8_to_unit_f32)(xs))
+    host = np.arange(256, dtype=np.uint8).astype(np.float32) / np.float32(255)
+    np.testing.assert_array_equal(dev, host)
+    assert dev[0] == 0.0 and dev[255] == 1.0
+
+
 def test_normalizing_put_uint8_matches_f32():
     mesh = pmesh.make_data_mesh()
     rng = np.random.default_rng(0)

@@ -59,7 +59,7 @@ def trace_style():
 
     cfg = StyleConfig.from_yaml(
         os.path.join(REPO, "configs", "ffhq256.yaml"),
-        overrides=["MODEL.COMPUTE_DTYPE", "bfloat16", "DATASET.SYNTHETIC", "true"])
+        overrides=["TRAIN.COMPUTE_DTYPE", "bfloat16", "DATASET.SYNTHETIC", "true"])
     model, opt, state, mesh = build_style_training(cfg)
     lod = cfg.layer_count - 1
     res = model.layer_to_resolution[lod]
