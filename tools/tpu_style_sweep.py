@@ -90,8 +90,11 @@ def main():
                 results[key] = {"error": msg}
                 continue
             (_, cell), = row.items()
-            # v5e bf16 MXU peak ~197 TFLOPS; f32 ~49 TFLOPS
-            peak = 197e12 if dtype == "bfloat16" else 49e12
+            # v5e MXU peak ~197 TFLOPS for BOTH rows: under the TPU default
+            # matmul precision, "f32" conv/matmul arrays still run as bf16
+            # MXU passes (an f32-peak denominator yields a bogus >100% MFU
+            # for the f32 row — round-5 fix)
+            peak = 197e12
             cell["mfu_pct"] = round(100.0 * cell["img_per_s"] * fpi / peak, 1)
             results[key] = cell
             print(f"{key}: {cell['img_per_s']} img/s, {cell['ms_per_step']} ms/step, "
